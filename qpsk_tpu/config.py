@@ -1,0 +1,101 @@
+"""Modem configuration.
+
+The reference (/root/reference) hardcodes every parameter as a compile-time
+``#define`` (qpsk.h:16-30, rrc_fir.h:13-14, bit-scramble.h:13, fft.h:44) and a
+hand-edited loop-bandwidth literal (qpsk.c:302).  Here the whole system is a
+single frozen (hashable) dataclass so it can be passed as a static argument to
+``jax.jit`` and swapped per mode preset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+TAU = 2.0 * math.pi
+ROTATE45 = math.pi / 4.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ModemConfig:
+    """Static parameters of one QPSK modem instance.
+
+    Defaults reproduce the reference design point: 2400 baud QPSK at
+    9600 samples/s on a 1500 Hz carrier (qpsk.h:16-18), 127-tap RRC with
+    alpha=0.35 and GAIN=1.85 (rrc_fir.h:13-14, qpsk.c:308), Costas loop
+    bandwidth TAU/100 with damping sqrt(2)/2 and +/-1 rad/sample frequency
+    clamp (qpsk.c:302, costas_loop.c:38).
+    """
+
+    fs: float = 9600.0           # sample rate, Hz            (qpsk.h:16)
+    rs: float = 2400.0           # symbol rate, baud          (qpsk.h:17)
+    center: float = 1500.0       # carrier center, Hz         (qpsk.h:18)
+    alpha: float = 0.35          # RRC roll-off               (qpsk.c:308)
+    ntaps: int = 127             # RRC taps                   (rrc_fir.h:13)
+    gain: float = 1.85           # RRC passband gain knob     (rrc_fir.h:14)
+    frame_size: int = 512        # RX block, samples          (qpsk.h:23)
+    loop_bw: float = TAU / 100.0  # Costas bandwidth, rad/sym (qpsk.c:302)
+    damping: float = math.sqrt(2.0) / 2.0   # (costas_loop.c:38)
+    min_freq: float = -1.0       # Costas freq clamp, rad/sym (qpsk.c:302)
+    max_freq: float = 1.0
+    pcm_scale: float = 16384.0   # int16 full-scale @ .5      (qpsk.c:260)
+
+    # --- mode switches (new capability, not in reference) ---
+    # timing: "histogram" replicates qpsk.c:131-180 exactly (the estimator the
+    # reference README calls unreliable); "power" is the robust
+    # Oerder&Meyr-style squared-envelope estimator used by default.
+    timing_mode: str = "power"
+    # nco: "fast" uses closed-form phasor ramps (embarrassingly parallel);
+    # "exact" replicates the C sequential phase product (qpsk.c:115) in a scan
+    # for bit-level parity testing.
+    nco_mode: str = "fast"
+    # carrier acquisition: "none" = cold-start Costas like the reference;
+    # "fft" = 4th-power FFT coarse estimate seeding the Costas loop.
+    acquisition: str = "fft"
+    nfft: int = 512              # acquisition FFT size       (fft.h:44)
+
+    # --- packet layer (reference algorithms/, dormant there) ---
+    scramble_seed: int = 0x4A80  # DVB LFSR sync seed         (bit-scramble.h:13)
+
+    def __post_init__(self):
+        if self.fs % self.rs != 0:
+            raise ValueError(f"fs={self.fs} must be an integer multiple of rs={self.rs}")
+        if self.ntaps % 2 != 1:
+            raise ValueError("ntaps must be odd")
+        if self.timing_mode not in ("histogram", "power"):
+            raise ValueError(f"unknown timing_mode {self.timing_mode!r}")
+        if self.nco_mode not in ("fast", "exact"):
+            raise ValueError(f"unknown nco_mode {self.nco_mode!r}")
+        if self.acquisition not in ("none", "fft"):
+            raise ValueError(f"unknown acquisition {self.acquisition!r}")
+
+    @property
+    def cycles(self) -> int:
+        """Samples per symbol (qpsk.h:21)."""
+        return int(self.fs / self.rs)
+
+    @property
+    def symbols_per_frame(self) -> int:
+        return self.frame_size // self.cycles
+
+    @property
+    def omega_center(self) -> float:
+        """Carrier phase increment, rad/sample (qpsk.c:342)."""
+        return TAU * self.center / self.fs
+
+
+def config_2400() -> ModemConfig:
+    """Reference design point: 2400 baud VHF/UHF mode (README.md:2)."""
+    return ModemConfig()
+
+
+def config_1200() -> ModemConfig:
+    """1200 baud 10 m band mode (README.md:2)."""
+    return ModemConfig(rs=1200.0)
+
+
+def config_parity() -> ModemConfig:
+    """Bit/behavior parity with the C reference: histogram timing
+    (qpsk.c:131-180), sequential NCO rounding (qpsk.c:115), cold-start
+    Costas (qpsk.c:302)."""
+    return ModemConfig(timing_mode="histogram", nco_mode="exact", acquisition="none")

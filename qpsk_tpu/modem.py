@@ -1,0 +1,136 @@
+"""Frame-level modem pipeline: TX and RX chains as pure jittable functions.
+
+TX (tx_frame, mirrors qpsk.c:221-264):
+  symbols -> zero-stuff x cycles -> RRC shape -> NCO mix up -> Re * 16384
+  -> int16 PCM.
+
+RX (rx_frame, mirrors qpsk.c:81-218):
+  PCM / 16384 -> NCO mix down -> RRC matched filter -> timing estimate ->
+  decimate (one-frame delay) -> Costas derotate -> Gray slice -> bits,
+  plus metrics (detected frequency offset in Hz, timing index).
+
+All functions take ``cfg`` as a static argument, thread explicit state
+(``TxState`` / ``RxState``) and broadcast over arbitrary leading batch axes
+(channels).  Signals are CF32 split-plane complex; the RRC FIR runs as a
+Toeplitz matmul on the MXU (ops/rrc.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qpsk_tpu.config import TAU, ModemConfig
+from qpsk_tpu.ops import costas as costas_ops
+from qpsk_tpu.ops import modmap, nco
+from qpsk_tpu.ops import rrc as rrc_ops
+from qpsk_tpu.ops import timing as timing_ops
+from qpsk_tpu.ops.cplx import CF32
+from qpsk_tpu.state import RxState, TxState
+
+
+@functools.lru_cache(maxsize=None)
+def taps_for(cfg: ModemConfig) -> np.ndarray:
+    return rrc_ops.rrc_design(cfg.fs, cfg.rs, cfg.alpha, cfg.ntaps, cfg.gain)
+
+
+def _pick_block(n: int) -> int:
+    for b in (512, 256, 128):
+        if n % b == 0:
+            return b
+    return n
+
+
+@functools.lru_cache(maxsize=None)
+def _tmat_for(cfg: ModemConfig, block: int) -> np.ndarray:
+    return rrc_ops.toeplitz_taps(taps_for(cfg), block)
+
+
+class RxOut(NamedTuple):
+    symbols: CF32            # (..., nsym) Costas-derotated constellation pts
+    bits: jnp.ndarray        # (..., 2*nsym) sliced bits
+    freq_hz: jnp.ndarray     # (...,) detected carrier offset, Hz (qpsk.c:217)
+    timing_index: jnp.ndarray  # (...,) decimation phase picked
+
+
+def tx_frame(cfg: ModemConfig, state: TxState, symbols: CF32,
+             tx_offset_hz: float = 0.0):
+    """Modulate one frame of symbols to int16 PCM (qpsk.c:225-264).
+
+    ``tx_offset_hz`` is added to the carrier (the reference transmits at
+    CENTER+50 Hz as the Costas test stimulus, qpsk.c:320-321).
+    """
+    sig = modmap.upsample_zero_stuff(symbols, cfg.cycles)
+    n = sig.shape[-1]
+    block = _pick_block(n)
+    tmat = jnp.asarray(_tmat_for(cfg, block))
+    sig, fir_tail = rrc_ops.fir_block(sig, state.fir_tail, tmat, cfg.gain, block)
+    omega = TAU * (cfg.center + tx_offset_hz) / cfg.fs
+    sig, phase = nco.mix(sig, state.nco_phase, omega, cfg.nco_mode)
+    # (int16)(Re * 16384.0f): C float->int conversion truncates toward zero.
+    pcm = (sig.re * jnp.float32(cfg.pcm_scale)).astype(jnp.int16)
+    return TxState(fir_tail=fir_tail, nco_phase=phase), pcm
+
+
+def tx_bits_frame(cfg: ModemConfig, state: TxState, bits: jnp.ndarray,
+                  tx_offset_hz: float = 0.0):
+    """Bits -> PCM, with the reference dibit packing (qpsk.c:273-285)."""
+    return tx_frame(cfg, state, modmap.bits_to_symbols(bits), tx_offset_hz)
+
+
+def rx_frame(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
+    """Demodulate one FRAME_SIZE block of int16 PCM (qpsk.c:88-218).
+
+    Note the reference's one-frame decimation delay (qpsk.c:186-191): the
+    symbols/bits returned belong to the *previous* frame's samples.
+    """
+    n = pcm.shape[-1]
+    xr = pcm.astype(jnp.float32) / jnp.float32(cfg.pcm_scale)
+    x = CF32(xr, jnp.zeros_like(xr))
+    # RX NCO runs at -CENTER (cmplxconj rect, qpsk.c:342)
+    x, nco_phase = nco.mix(x, state.nco_phase, -cfg.omega_center, cfg.nco_mode)
+    block = _pick_block(n)
+    tmat = jnp.asarray(_tmat_for(cfg, block))
+    x, fir_tail = rrc_ops.fir_block(x, state.fir_tail, tmat, cfg.gain, block)
+
+    if cfg.timing_mode == "histogram":
+        index = timing_ops.timing_histogram(x, cfg.cycles)
+    else:
+        index = timing_ops.timing_power(x, cfg.cycles)
+    symbols, decim_delay = timing_ops.decimate_delayed(
+        x, state.decim_delay, index, cfg.cycles)
+
+    params = costas_ops.costas_params(cfg.loop_bw, cfg.damping,
+                                      cfg.min_freq, cfg.max_freq)
+    cstate, derot = costas_ops.costas_run(state.costas, symbols, params)
+    bits = modmap.demod_bits(derot)
+    out = RxOut(symbols=derot, bits=bits,
+                freq_hz=costas_ops.freq_to_hz(cstate.freq, cfg.rs),
+                timing_index=index)
+    new_state = RxState(fir_tail=fir_tail, nco_phase=nco_phase,
+                        costas=cstate, decim_delay=decim_delay)
+    return new_state, out
+
+
+def rx_stream(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
+    """Demodulate (..., nframes, frame_size) PCM via scan over frames."""
+    xs = jnp.moveaxis(pcm, -2, 0)
+
+    def step(st, frame):
+        st, out = rx_frame(cfg, st, frame)
+        return st, out
+
+    state, outs = jax.lax.scan(step, state, xs)
+    # scan stacks frames on axis 0; put the frame axis next to the per-frame
+    # payload axis for symbol/bit arrays, last for scalar metrics.
+    outs = RxOut(
+        symbols=CF32(jnp.moveaxis(outs.symbols.re, 0, -2),
+                     jnp.moveaxis(outs.symbols.im, 0, -2)),
+        bits=jnp.moveaxis(outs.bits, 0, -2),
+        freq_hz=jnp.moveaxis(outs.freq_hz, 0, -1),
+        timing_index=jnp.moveaxis(outs.timing_index, 0, -1))
+    return state, outs

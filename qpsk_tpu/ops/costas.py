@@ -1,0 +1,119 @@
+"""Costas-loop carrier recovery.
+
+The reference is a 2nd-order decision-directed PLL taken from GNU Radio
+(costas_loop.c) with all state in file-scope statics — one global loop
+instance.  Here the loop is a pure ``(state, symbol) -> (state, out)``
+recurrence run under ``jax.lax.scan``, with the state as an explicit pytree so
+it can be vmapped per channel and sharded with pjit.  The scan is sequential
+in time but arbitrarily wide in channels: batched channels ride the VPU lanes,
+which is how the TPU build hides the serial recurrence.
+
+Exact semantics replicated (for parity with the C chain):
+
+* derotation uses the phase *before* the update: ``out = z * e^{-j phase}``
+  (qpsk.c:197 reads the phase advanced at qpsk.c:205 of the previous symbol);
+* phase detector ``sign+(Re)*Im - sign+(Im)*Re`` where ``sign+(v) = v > 0 ?
+  1 : -1`` (costas_loop.c:44-47);
+* loop update order ``freq += beta*err; phase += freq + alpha*err``
+  (costas_loop.c:56-59, left-to-right float adds);
+* phase wrap to +-TAU by repeated subtraction (costas_loop.c:61-67) — the
+  per-step increment is bounded, so two conditional subtractions suffice;
+* frequency clamp to [min_freq, max_freq] (costas_loop.c:69-74);
+* gain schedule alpha = 4 d w / denom, beta = 4 w^2 / denom,
+  denom = 1 + 2 d w + w^2 (costas_loop.c:49-54).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from qpsk_tpu.ops.cplx import CF32, cexp_conj, cmul
+
+TAU = 2.0 * math.pi
+
+
+class CostasParams(NamedTuple):
+    """Static loop gains (from bandwidth + damping, costas_loop.c:49-54)."""
+    alpha: jnp.ndarray
+    beta: jnp.ndarray
+    max_freq: jnp.ndarray
+    min_freq: jnp.ndarray
+
+
+class CostasState(NamedTuple):
+    """Dynamic loop state (costas_loop.c:13-15); rad/symbol units."""
+    phase: jnp.ndarray
+    freq: jnp.ndarray
+
+
+def costas_params(loop_bw: float, damping: float = math.sqrt(2.0) / 2.0,
+                  min_freq: float = -1.0, max_freq: float = 1.0) -> CostasParams:
+    denom = 1.0 + 2.0 * damping * loop_bw + loop_bw * loop_bw
+    alpha = 4.0 * damping * loop_bw / denom
+    beta = 4.0 * loop_bw * loop_bw / denom
+    return CostasParams(
+        alpha=jnp.float32(alpha), beta=jnp.float32(beta),
+        max_freq=jnp.float32(max_freq), min_freq=jnp.float32(min_freq))
+
+
+def costas_init(batch_shape=(), phase=0.0, freq=0.0) -> CostasState:
+    """Cold start (qpsk.c:302: phase=0, freq=0); pass an acquisition
+    estimate as ``freq`` (rad/symbol) to warm-start."""
+    return CostasState(
+        phase=jnp.broadcast_to(jnp.asarray(phase, jnp.float32), batch_shape),
+        freq=jnp.broadcast_to(jnp.asarray(freq, jnp.float32), batch_shape))
+
+
+def phase_detector(z: CF32) -> jnp.ndarray:
+    """QPSK decision-directed error (costas_loop.c:44-47)."""
+    sr = jnp.where(z.re > 0.0, jnp.float32(1.0), jnp.float32(-1.0))
+    si = jnp.where(z.im > 0.0, jnp.float32(1.0), jnp.float32(-1.0))
+    return sr * z.im - si * z.re
+
+
+def _wrap_phase(phase: jnp.ndarray) -> jnp.ndarray:
+    # costas_loop.c:61-67; |increment| per step is < TAU so two rounds cover it.
+    phase = jnp.where(phase > TAU, phase - jnp.float32(TAU), phase)
+    phase = jnp.where(phase > TAU, phase - jnp.float32(TAU), phase)
+    phase = jnp.where(phase < -TAU, phase + jnp.float32(TAU), phase)
+    phase = jnp.where(phase < -TAU, phase + jnp.float32(TAU), phase)
+    return phase
+
+
+def costas_step(state: CostasState, z: CF32, params: CostasParams):
+    """One symbol tick: derotate, detect, advance (qpsk.c:196-212)."""
+    out = cmul(z, cexp_conj(state.phase))
+    err = phase_detector(out)
+    freq = state.freq + params.beta * err
+    phase = (state.phase + freq) + params.alpha * err
+    phase = _wrap_phase(phase)
+    freq = jnp.clip(freq, params.min_freq, params.max_freq)
+    return CostasState(phase=phase, freq=freq), out
+
+
+def costas_run(state: CostasState, symbols: CF32, params: CostasParams):
+    """Track a block of symbols.
+
+    Args:
+      state: batch-shaped loop state.
+      symbols: ``(..., t)`` CF32, batch shape matching ``state``.
+    Returns:
+      (new_state, derotated symbols ``(..., t)``).
+    """
+    xs = CF32(jnp.moveaxis(symbols.re, -1, 0), jnp.moveaxis(symbols.im, -1, 0))
+
+    def step(st, z):
+        return costas_step(st, CF32(*z), params)
+
+    new_state, out = jax.lax.scan(step, state, tuple(xs))
+    return new_state, CF32(jnp.moveaxis(out.re, 0, -1),
+                           jnp.moveaxis(out.im, 0, -1))
+
+
+def freq_to_hz(freq_rad_per_symbol: jnp.ndarray, rs: float) -> jnp.ndarray:
+    """Detected offset in Hz at the symbol rate (qpsk.c:217)."""
+    return freq_rad_per_symbol * jnp.float32(rs / TAU)

@@ -1,0 +1,116 @@
+"""Symbol-timing estimation and decimation.
+
+Two estimators:
+
+* ``timing_histogram`` — exact replica of the reference's preamble-free
+  amplitude-histogram estimator (qpsk.c:131-180), including its quirks: the
+  leaky I/Q averages that are never reset within a frame (qpsk.c:133-138),
+  the running maxima updated *before* the histogram thresholds are computed
+  (qpsk.c:140-146), 8 buckets with bucket 0 unused and no bucket taken when
+  the group average *is* the new maximum (the ``k < 8`` loop bound,
+  qpsk.c:152-166), and first-wins argmax over the summed histogram
+  (qpsk.c:169-180).  The reference README calls this estimator "unreliable"
+  (README.md:4); it is kept as the parity mode.
+
+* ``timing_power`` — the robust default: squared-envelope (Oerder&Meyr
+  style) phase selection, i.e. pick the decimation phase with maximum mean
+  energy after the matched filter.  Data-parallel, no sequential state.
+
+Decimation replicates the reference's one-frame delay line (qpsk.c:182-191):
+the symbols handed to the Costas loop are the *previous* frame's picks, and
+the timing index may exceed ``cycles - 1`` (up to 7), in which case the C
+code reads past the frame buffer (undefined behavior); we clamp to the last
+sample instead.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qpsk_tpu.ops.cplx import CF32, cabs2, ctake_along_axis
+
+
+def timing_histogram(frame: CF32, cycles: int) -> jnp.ndarray:
+    """Reference histogram timing index for (..., frame_size) filtered
+    samples.  Returns int32 index, batch-shaped."""
+    batch_shape = frame.shape[:-1]
+    nsym = frame.shape[-1] // cycles
+    abs_i = jnp.abs(frame.re).reshape(batch_shape + (nsym, cycles))
+    abs_q = jnp.abs(frame.im).reshape(batch_shape + (nsym, cycles))
+    sum_i = jnp.moveaxis(abs_i.sum(-1), -1, 0)  # (nsym, ...)
+    sum_q = jnp.moveaxis(abs_q.sum(-1), -1, 0)
+
+    zeros = jnp.zeros(batch_shape, jnp.float32)
+    hist0 = jnp.zeros(batch_shape + (8,), jnp.float32)
+    ks = jnp.arange(1, 8, dtype=jnp.float32)  # buckets 1..7 (bucket 0 unused)
+
+    def bucket_add(hist, av, mx):
+        hv = mx / 8.0
+        cond = av[..., None] <= hv[..., None] * ks  # (..., 7)
+        hit = jnp.any(cond, axis=-1)
+        k = 1 + jnp.argmax(cond, axis=-1)           # first k with av <= hv*k
+        onehot = jax.nn.one_hot(k, 8, dtype=jnp.float32)
+        return hist + onehot * hit[..., None].astype(jnp.float32)
+
+    def step(carry, xs):
+        av_i, av_q, max_i, max_q, hist_i, hist_q = carry
+        s_i, s_q = xs
+        av_i = (av_i + s_i) / cycles   # leaky average (qpsk.c:133-138)
+        av_q = (av_q + s_q) / cycles
+        max_i = jnp.maximum(max_i, av_i)  # max updated first (qpsk.c:140-146)
+        max_q = jnp.maximum(max_q, av_q)
+        hist_i = bucket_add(hist_i, av_i, max_i)
+        hist_q = bucket_add(hist_q, av_q, max_q)
+        return (av_i, av_q, max_i, max_q, hist_i, hist_q), None
+
+    carry0 = (zeros, zeros, zeros, zeros, hist0, hist0)
+    (_, _, _, _, hist_i, hist_q), _ = jax.lax.scan(step, carry0, (sum_i, sum_q))
+
+    hist = hist_i + hist_q
+    # first-wins strict argmax with hmax starting at 0 → index 0 if all zero
+    hmax = jnp.max(hist, axis=-1)
+    idx = jnp.argmax(hist, axis=-1).astype(jnp.int32)
+    return jnp.where(hmax > 0, idx, 0).astype(jnp.int32)
+
+
+def timing_power(frame: CF32, cycles: int) -> jnp.ndarray:
+    """Max-energy decimation phase: argmax_p mean |x[i*cycles + p]|^2."""
+    batch_shape = frame.shape[:-1]
+    nsym = frame.shape[-1] // cycles
+    e = cabs2(frame).reshape(batch_shape + (nsym, cycles))
+    energy = jnp.mean(e, axis=-2)  # (..., cycles)
+    return jnp.argmax(energy, axis=-1).astype(jnp.int32)
+
+
+def timing_fractional(frame: CF32, cycles: int) -> jnp.ndarray:
+    """Oerder&Meyr squared-envelope fractional timing estimate in samples,
+    in [0, cycles).  Used by the resampling (robust) path."""
+    n = frame.shape[-1]
+    e = cabs2(frame)
+    cos_t = jnp.asarray(np.cos(-2 * np.pi * np.arange(n) / cycles), jnp.float32)
+    sin_t = jnp.asarray(np.sin(-2 * np.pi * np.arange(n) / cycles), jnp.float32)
+    cr = jnp.sum(e * cos_t, axis=-1)
+    ci = jnp.sum(e * sin_t, axis=-1)
+    tau = -jnp.arctan2(ci, cr) / (2.0 * np.pi) * cycles
+    return jnp.mod(tau, float(cycles))
+
+
+def decimate_delayed(frame: CF32, delay: CF32, index: jnp.ndarray, cycles: int):
+    """Pick one sample per symbol at phase ``index`` through the reference's
+    one-frame delay line (qpsk.c:182-191).
+
+    Args:
+      frame: (..., frame_size) filtered samples.
+      delay: (..., nsym) previous frame's picks (state).
+      index: batch-shaped int32 timing index (may exceed cycles-1; clamped).
+    Returns:
+      (symbols_out, new_delay): the previous frame's symbols, and this
+      frame's picks to carry.
+    """
+    nsym = frame.shape[-1] // cycles
+    pos = jnp.arange(nsym, dtype=jnp.int32) * cycles + index[..., None]
+    pos = jnp.clip(pos, 0, frame.shape[-1] - 1)
+    picks = ctake_along_axis(frame, pos, axis=-1)
+    return delay, picks

@@ -1,0 +1,11 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh so sharding
+tests exercise real collectives without TPU hardware (the driver separately
+dry-runs the multi-chip path)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
