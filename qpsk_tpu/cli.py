@@ -1,0 +1,211 @@
+"""Command-line harness: the L5 layer (cf. main() qpsk.c:289-359).
+
+Subcommands:
+
+* ``loopback`` — TX → channel → RX in one process (the reference's whole
+  main(), but with reproducible PRNG seeds, AWGN, metrics, and an optional
+  scatter artifact replacing the octave plot, Makefile:10-12).
+* ``tx``       — payload packets → int16 PCM spool file (qpsk.h:14 analogue).
+* ``rx``       — PCM spool file → packets + metrics.
+* ``bench``    — the throughput benchmark (same code path as /bench.py).
+
+Usage: ``python -m qpsk_tpu loopback --frames 100 --snr-db 10``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--baud", type=float, default=2400.0,
+                   help="symbol rate (2400 VHF / 1200 10m, README.md:2)")
+    p.add_argument("--offset-hz", type=float, default=50.0,
+                   help="TX carrier offset stimulus (qpsk.c:320)")
+    p.add_argument("--frames", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--parity", action="store_true",
+                   help="reference-parity mode (histogram timing, exact NCO)")
+
+
+def _cfg(args):
+    from qpsk_tpu.config import ModemConfig, config_parity
+    if getattr(args, "parity", False):
+        return config_parity()
+    return ModemConfig(rs=args.baud)
+
+
+def cmd_loopback(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from qpsk_tpu import rx_init, tx_init
+    from qpsk_tpu.channel import awgn_pcm
+    from qpsk_tpu.metrics import evm, per
+    from qpsk_tpu.modem import rx_stream, tx_bits_frame
+    from qpsk_tpu.ops.cplx import CF32
+    from qpsk_tpu.packet import PacketConfig, assemble_packet
+    from qpsk_tpu.sync import extract_packets, find_sync
+
+    cfg = _cfg(args)
+    pcfg = PacketConfig(payload_bytes=30)
+    rng = np.random.default_rng(args.seed)
+    payload = jnp.asarray(
+        rng.integers(0, 2, (args.frames, 8 * pcfg.payload_bytes), dtype=np.int32))
+    chan_bits = assemble_packet(pcfg, payload)
+
+    def tx_one(st, bits):
+        st, pcm = tx_bits_frame(cfg, st, bits, tx_offset_hz=args.offset_hz)
+        return st, pcm
+
+    _, pcm = jax.lax.scan(tx_one, tx_init(cfg), chan_bits)
+    if args.snr_db is not None:
+        sp = float(jnp.mean((pcm.astype(jnp.float32) / cfg.pcm_scale) ** 2))
+        pcm = awgn_pcm(jax.random.key(args.seed), pcm,
+                       snr_db=args.snr_db, signal_power=sp,
+                       pcm_scale=cfg.pcm_scale)
+
+    _, out = rx_stream(cfg, rx_init(cfg), pcm.reshape(-1, cfg.frame_size))
+
+    skip = min(8, args.frames // 4)
+    bits = out.bits.ravel()
+    sync = find_sync(pcfg, bits[skip * pcfg.frame_bits:],
+                     max_lag=600, probe_frames=4)
+    navail = ((bits.size - skip * pcfg.frame_bits - int(sync.bit_lag))
+              // pcfg.frame_bits)
+    rx = extract_packets(pcfg, bits[skip * pcfg.frame_bits:], sync, navail)
+    m = evm(CF32(out.symbols.re[skip:], out.symbols.im[skip:]))
+
+    result = {
+        "frames": args.frames,
+        "snr_db": args.snr_db,
+        "offset_hz": args.offset_hz,
+        "detected_offset_hz": round(float(jnp.mean(out.freq_hz[-10:])), 2),
+        "sync_rotation_deg": int(sync.rotation) * 90,
+        "sync_score": int(sync.score),
+        "packets": int(np.asarray(rx.crc_ok).size),
+        "per": round(float(per(rx.crc_ok)), 5),
+        "evm_rms": round(float(jnp.mean(m.evm_rms)), 5),
+    }
+    print(json.dumps(result))
+
+    if args.scatter:
+        _scatter_png(args.scatter, out.symbols, skip)
+        print(f"scatter written to {args.scatter}", file=sys.stderr)
+    return 0
+
+
+def _scatter_png(path: str, symbols, skip: int) -> None:
+    """Constellation artifact (replaces the octave plot, Makefile:10-12)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    re = np.asarray(symbols.re)[skip:].ravel()
+    im = np.asarray(symbols.im)[skip:].ravel()
+    fig, ax = plt.subplots(figsize=(5, 5))
+    ax.scatter(re, im, s=2, alpha=0.3)
+    ax.set_xlabel("I")
+    ax.set_ylabel("Q")
+    ax.set_title("Costas-locked constellation")
+    ax.set_aspect("equal")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def cmd_tx(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from qpsk_tpu import tx_init
+    from qpsk_tpu.modem import tx_bits_frame
+    from qpsk_tpu.packet import PacketConfig, assemble_packet
+
+    cfg = _cfg(args)
+    pcfg = PacketConfig(payload_bytes=30)
+    rng = np.random.default_rng(args.seed)
+    payload = jnp.asarray(
+        rng.integers(0, 2, (args.frames, 8 * pcfg.payload_bytes), dtype=np.int32))
+    chan_bits = assemble_packet(pcfg, payload)
+
+    def tx_one(st, bits):
+        st, pcm = tx_bits_frame(cfg, st, bits, tx_offset_hz=args.offset_hz)
+        return st, pcm
+
+    _, pcm = jax.lax.scan(tx_one, tx_init(cfg), chan_bits)
+    np.asarray(pcm).astype("<i2").tofile(args.out)
+    print(json.dumps({"samples": int(pcm.size), "file": args.out}))
+    return 0
+
+
+def cmd_rx(args) -> int:
+    import jax.numpy as jnp
+
+    from qpsk_tpu import rx_init
+    from qpsk_tpu.metrics import per
+    from qpsk_tpu.modem import rx_stream
+    from qpsk_tpu.packet import PacketConfig
+    from qpsk_tpu.sync import extract_packets, find_sync
+
+    cfg = _cfg(args)
+    pcfg = PacketConfig(payload_bytes=30)
+    pcm = np.fromfile(args.infile, dtype="<i2")
+    nframes = pcm.size // cfg.frame_size
+    pcm = jnp.asarray(pcm[:nframes * cfg.frame_size].reshape(nframes,
+                                                             cfg.frame_size))
+    _, out = rx_stream(cfg, rx_init(cfg), pcm)
+    bits = out.bits.ravel()
+    skip = min(8, nframes // 4) * pcfg.frame_bits
+    sync = find_sync(pcfg, bits[skip:], max_lag=600, probe_frames=4)
+    navail = (bits.size - skip - int(sync.bit_lag)) // pcfg.frame_bits
+    rx = extract_packets(pcfg, bits[skip:], sync, navail)
+    print(json.dumps({
+        "frames": nframes,
+        "detected_offset_hz": round(float(np.mean(np.asarray(out.freq_hz)[-10:])), 2),
+        "sync_score": int(sync.score),
+        "packets": navail,
+        "per": round(float(per(rx.crc_ok)), 5),
+    }))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="qpsk_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    lp = sub.add_parser("loopback", help="TX→channel→RX simulation")
+    _add_common(lp)
+    lp.add_argument("--snr-db", type=float, default=None,
+                    help="AWGN SNR; omit for the reference's noiseless loop")
+    lp.add_argument("--scatter", type=str, default=None,
+                    help="write a constellation PNG artifact")
+    lp.set_defaults(fn=cmd_loopback)
+
+    tx = sub.add_parser("tx", help="modulate packets to an int16 PCM file")
+    _add_common(tx)
+    tx.add_argument("--out", type=str, default="/tmp/qpsk_tpu_spool.raw")
+    tx.set_defaults(fn=cmd_tx)
+
+    rx = sub.add_parser("rx", help="demodulate an int16 PCM file")
+    _add_common(rx)
+    rx.add_argument("infile", type=str)
+    rx.set_defaults(fn=cmd_rx)
+
+    def _bench(a) -> int:
+        from qpsk_tpu.benchmarks import rx_throughput
+        print(json.dumps(rx_throughput()))
+        return 0
+
+    be = sub.add_parser("bench", help="throughput benchmark")
+    be.set_defaults(fn=_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -49,6 +49,11 @@ class ModemConfig:
     # "exact" replicates the C sequential phase product (qpsk.c:115) in a scan
     # for bit-level parity testing.
     nco_mode: str = "fast"
+    # slicer: "diagonal" slices the Costas diagonal lock directly (correct);
+    # "reference" replicates the C rotate-45-then-sign slicer (qpsk.c:74-79)
+    # whose decisions are noise-decided at the lock points — parity mode
+    # only (see ops/modmap.demod_bits docstrings).
+    slicer: str = "diagonal"
     # carrier acquisition: "none" = cold-start Costas like the reference;
     # "fft" = 4th-power FFT coarse estimate seeding the Costas loop.
     acquisition: str = "fft"
@@ -66,6 +71,8 @@ class ModemConfig:
             raise ValueError(f"unknown timing_mode {self.timing_mode!r}")
         if self.nco_mode not in ("fast", "exact"):
             raise ValueError(f"unknown nco_mode {self.nco_mode!r}")
+        if self.slicer not in ("diagonal", "reference"):
+            raise ValueError(f"unknown slicer {self.slicer!r}")
         if self.acquisition not in ("none", "fft"):
             raise ValueError(f"unknown acquisition {self.acquisition!r}")
 
@@ -97,5 +104,6 @@ def config_1200() -> ModemConfig:
 def config_parity() -> ModemConfig:
     """Bit/behavior parity with the C reference: histogram timing
     (qpsk.c:131-180), sequential NCO rounding (qpsk.c:115), cold-start
-    Costas (qpsk.c:302)."""
-    return ModemConfig(timing_mode="histogram", nco_mode="exact", acquisition="none")
+    Costas (qpsk.c:302), rotate-45 slicer (qpsk.c:74-79)."""
+    return ModemConfig(timing_mode="histogram", nco_mode="exact",
+                       acquisition="none", slicer="reference")

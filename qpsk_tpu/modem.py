@@ -107,7 +107,10 @@ def rx_frame(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     params = costas_ops.costas_params(cfg.loop_bw, cfg.damping,
                                       cfg.min_freq, cfg.max_freq)
     cstate, derot = costas_ops.costas_run(state.costas, symbols, params)
-    bits = modmap.demod_bits(derot)
+    if cfg.slicer == "diagonal":
+        bits = modmap.demod_bits(derot)
+    else:
+        bits = modmap.demod_bits_reference(derot)
     out = RxOut(symbols=derot, bits=bits,
                 freq_hz=costas_ops.freq_to_hz(cstate.freq, cfg.rs),
                 timing_index=index)

@@ -1,0 +1,60 @@
+"""FFT-based coarse carrier acquisition (capability upgrade over the
+reference).
+
+The reference Costas loop cold-starts at freq=0 and must be hand-tuned to
+pull in the +50 Hz offset (README.md:12, qpsk.c:302).  Here a classic
+4th-power spectral estimator seeds the loop: raising QPSK to the 4th power
+strips the modulation, leaving a tone at 4·Δf whose FFT peak (with parabolic
+interpolation between bins) gives Δf to a fraction of a bin.  The FFT is the
+matmul DFT (qpsk_tpu.ops.fft), so the whole estimator is matmuls +
+reductions — no recurrence, arbitrary batch axes.
+
+Works on matched-filtered baseband *samples* (before decimation): at fs with
+offset f, the 4th-power tone sits at 4f (wrapped into [-fs/2, fs/2)).
+Estimator range is therefore |f| < fs/8 = 1200 Hz, far beyond the Costas
+pull-in range it seeds.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from qpsk_tpu.ops import fft as fft_ops
+from qpsk_tpu.ops.cplx import CF32, cmul
+
+
+def quadruple(x: CF32) -> CF32:
+    """z^4 via two squarings (exact split-plane arithmetic)."""
+    z2 = cmul(x, x)
+    return cmul(z2, z2)
+
+
+def acquire_freq_hz(x: CF32, fs: float, nfft: int = 512) -> jnp.ndarray:
+    """Estimate the carrier offset (Hz) of QPSK baseband samples ``x``
+    (..., n >= nfft).  Returns (...,) float32.
+    """
+    x4 = quadruple(CF32(x.re[..., :nfft], x.im[..., :nfft]))
+    spec = fft_ops.fft(x4)
+    power = spec.re * spec.re + spec.im * spec.im  # (..., nfft)
+    k = jnp.argmax(power, axis=-1)
+
+    # Parabolic interpolation around the peak (cyclic neighbors).
+    km = jnp.mod(k - 1, nfft)
+    kp = jnp.mod(k + 1, nfft)
+    pm = jnp.take_along_axis(power, km[..., None], axis=-1)[..., 0]
+    p0 = jnp.take_along_axis(power, k[..., None], axis=-1)[..., 0]
+    pp = jnp.take_along_axis(power, kp[..., None], axis=-1)[..., 0]
+    denom = pm - 2.0 * p0 + pp
+    delta = jnp.where(jnp.abs(denom) > 1e-20,
+                      0.5 * (pm - pp) / denom, 0.0)
+    kf = k.astype(jnp.float32) + delta
+    # Map bin to signed frequency, then undo the 4th power.
+    kf = jnp.where(kf > nfft / 2, kf - nfft, kf)
+    return kf * jnp.float32(fs / nfft) / 4.0
+
+
+def hz_to_costas_freq(f_hz: jnp.ndarray, rs: float) -> jnp.ndarray:
+    """Hz -> Costas loop frequency units (rad/symbol), inverting the
+    readback ``f = freq * RS / TAU`` (qpsk.c:217)."""
+    import math
+    return f_hz * jnp.float32(2.0 * math.pi / rs)

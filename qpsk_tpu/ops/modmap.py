@@ -47,12 +47,37 @@ def bits_to_symbols(bits: jnp.ndarray) -> CF32:
 
 
 def demod_bits(symbols: CF32) -> jnp.ndarray:
-    """Slice symbols (..., n) back to bits (..., 2*n), inverting
-    ``bits_to_symbols`` (Gray slicer, qpsk.c:74-79).
+    """Slice Costas-locked symbols (..., n) back to bits (..., 2*n).
 
-    b0 = Re(sym * e^{j pi/4}) < 0 ; b1 = Im(...) < 0 ;
-    recovered stream order is [b1, b0] per symbol (undoing the TX swap).
+    The decision-directed Costas detector (costas_loop.c:44-47) has its
+    stable lock points on the **diagonals**: in steady state a TX symbol
+    ``s`` arrives as ``s * e^{j(45° + k*90°)}`` (the reference's own scatter
+    shows four clusters at (±1, ±1)).  The correct slicer therefore maps
+    quadrants directly: for the canonical ``k = 0`` lock,
+
+        b1 = Im < 0,  b0 = Re < 0,   index = (b1 << 1) | b0
+
+    which inverts ``bits_to_symbols`` exactly (Gray property preserved; the
+    residual 4-fold ``k`` ambiguity is resolved one layer up,
+    qpsk_tpu.sync).  NOTE this deliberately *fixes* a reference defect:
+    qpsk.c:74-79 rotates by +45° first, which puts the diagonal lock back
+    onto the axes where one sign test is decided by noise — one bit per
+    symbol becomes a coin toss (the README's "hit and miss" decode,
+    README.md:10).  ``demod_bits_reference`` reproduces that behavior for
+    parity testing.
     """
+    b0 = (symbols.re < 0.0)
+    b1 = (symbols.im < 0.0)
+    bits = jnp.stack([b1, b0], axis=-1).astype(jnp.int32)
+    return bits.reshape(symbols.shape[:-1] + (-1,))
+
+
+def demod_bits_reference(symbols: CF32) -> jnp.ndarray:
+    """The reference's slicer, bug included (qpsk.c:74-79): rotate +45°,
+    then b0 = Re < 0, b1 = Im < 0, stream order [b1, b0].  Against the
+    diagonal Costas lock this leaves the rotated symbols on the axes, so
+    one of the two sign tests is noise-decided.  Kept for behavioral parity
+    with the C modem only."""
     rot45 = CF32(jnp.float32(math.cos(ROTATE45)), jnp.float32(math.sin(ROTATE45)))
     rot = cmul(symbols, rot45)
     b0 = (rot.re < 0.0)

@@ -1,0 +1,94 @@
+"""Frame synchronization: phase-ambiguity resolution + packet alignment.
+
+The Costas loop locks QPSK with a 4-fold (90°) phase ambiguity, and the RX
+symbol stream is offset from packet boundaries by a systematic delay (TX+RX
+FIR group delay of ``ntaps - 1`` samples, the decimator's one-frame delay
+(qpsk.c:186-191), and the data-dependent timing index).  The reference never
+resolves either — its demod bits are discarded (qpsk.c:211).  This module
+makes packets recoverable:
+
+* ``rotate_dibits`` applies a 90°·r constellation rotation *after* slicing —
+  a 4-entry permutation on dibit indices, so all four hypotheses come from
+  one demod pass;
+* ``find_sync`` scans (rotation × bit-lag) hypotheses over a probe window
+  and scores each by CRC pass count (the scrambler whitens payloads, so a
+  wrong hypothesis passes a 16-bit CRC with p = 2^-16) — one batched
+  evaluation, no Python-level search on device;
+* ``extract_packets`` slices the aligned stream into frames and runs the
+  packet disassembly.
+
+Everything is jnp; ``find_sync`` evaluates all hypotheses as one batched
+gather + CRC scan, which is TPU-friendly (hypotheses ride the batch axis).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from qpsk_tpu.packet.frame import PacketConfig, RxPacket, disassemble_packet
+
+# One 90° CCW rotation of the received constellation permutes sliced dibit
+# indices 0→1→3→2→0 (quadrant walk of the diagonal lock; see
+# ops/modmap.demod_bits).  _ROT_POW[r] is the permutation for r steps.
+_ROT_STEP = np.array([1, 3, 0, 2], dtype=np.int32)
+_ROT_POW = np.stack([np.arange(4, dtype=np.int32),
+                     _ROT_STEP,
+                     _ROT_STEP[_ROT_STEP],
+                     _ROT_STEP[_ROT_STEP][_ROT_STEP]])
+
+
+class SyncResult(NamedTuple):
+    rotation: jnp.ndarray   # int32 scalar, 90° steps
+    bit_lag: jnp.ndarray    # int32 scalar, bits into the stream
+    score: jnp.ndarray      # int32: CRC passes among probe frames
+
+
+def rotate_dibits(bits: jnp.ndarray, r) -> jnp.ndarray:
+    """Re-slice a demodulated bit stream (..., 2n) under rotation hypothesis
+    ``r`` (0..3).  bits are per-symbol [b1, b0] pairs (modmap.demod_bits)."""
+    b = jnp.asarray(bits, jnp.int32)
+    pairs = b.reshape(b.shape[:-1] + (-1, 2))
+    m = (pairs[..., 0] << 1) | pairs[..., 1]
+    perm = jnp.asarray(_ROT_POW)[r]
+    m2 = perm[m]
+    out = jnp.stack([(m2 >> 1) & 1, m2 & 1], axis=-1)
+    return out.reshape(b.shape)
+
+
+def find_sync(pcfg: PacketConfig, bits: jnp.ndarray, max_lag: int = 512,
+              probe_frames: int = 4) -> SyncResult:
+    """Search rotation × even bit-lag for the hypothesis with the most CRC
+    passes over ``probe_frames`` consecutive frames.
+
+    ``bits``: 1-D demodulated stream, length ≥ max_lag + probe_frames *
+    frame_bits.  Lags are even (symbol-aligned — the demod emits whole
+    dibits).  Returns the winning hypothesis; a score of 0 means no sync.
+    """
+    fb = pcfg.frame_bits
+    need = max_lag + probe_frames * fb
+    assert bits.ndim == 1 and bits.shape[0] >= need, (bits.shape, need)
+    lags = jnp.arange(0, max_lag, 2, dtype=jnp.int32)          # (L,)
+    window = jnp.arange(probe_frames * fb, dtype=jnp.int32)    # (W,)
+    gathered = bits[lags[:, None] + window[None, :]]           # (L, W)
+    # all four rotations of every lag window: (4, L, W)
+    cand = jnp.stack([rotate_dibits(gathered, r) for r in range(4)])
+    frames = cand.reshape(4, lags.shape[0], probe_frames, fb)
+    ok = disassemble_packet(pcfg, frames).crc_ok               # (4, L, P)
+    score = ok.sum(-1).astype(jnp.int32)                       # (4, L)
+    flat = jnp.argmax(score)
+    r = (flat // lags.shape[0]).astype(jnp.int32)
+    li = flat % lags.shape[0]
+    return SyncResult(rotation=r, bit_lag=lags[li], score=score.reshape(-1)[flat])
+
+
+def extract_packets(pcfg: PacketConfig, bits: jnp.ndarray, sync: SyncResult,
+                    nframes: int) -> RxPacket:
+    """Slice ``nframes`` aligned frames out of a 1-D bit stream and
+    disassemble them.  ``nframes`` must be static (jit-friendly)."""
+    fb = pcfg.frame_bits
+    idx = sync.bit_lag + jnp.arange(nframes * fb, dtype=jnp.int32)
+    aligned = rotate_dibits(bits[idx], sync.rotation)
+    return disassemble_packet(pcfg, aligned.reshape(nframes, fb))
