@@ -57,6 +57,10 @@ class ModemConfig:
     # carrier acquisition: "none" = cold-start Costas like the reference;
     # "fft" = 4th-power FFT coarse estimate seeding the Costas loop.
     acquisition: str = "fft"
+    # costas_impl: "auto" picks the fused Pallas kernel on TPU when the
+    # batch shape allows (channels % 128 == 0), else the lax.scan lowering;
+    # "scan" / "pallas" force one.  Both are bit-identical.
+    costas_impl: str = "auto"
     nfft: int = 512              # acquisition FFT size       (fft.h:44)
 
     # --- packet layer (reference algorithms/, dormant there) ---
@@ -73,6 +77,8 @@ class ModemConfig:
             raise ValueError(f"unknown nco_mode {self.nco_mode!r}")
         if self.slicer not in ("diagonal", "reference"):
             raise ValueError(f"unknown slicer {self.slicer!r}")
+        if self.costas_impl not in ("auto", "scan", "pallas"):
+            raise ValueError(f"unknown costas_impl {self.costas_impl!r}")
         if self.acquisition not in ("none", "fft"):
             raise ValueError(f"unknown acquisition {self.acquisition!r}")
 

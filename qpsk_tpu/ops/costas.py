@@ -95,12 +95,15 @@ def costas_step(state: CostasState, z: CF32, params: CostasParams):
     return CostasState(phase=phase, freq=freq), out
 
 
-def costas_run(state: CostasState, symbols: CF32, params: CostasParams):
+def costas_run(state: CostasState, symbols: CF32, params: CostasParams,
+               unroll: int = 1):
     """Track a block of symbols.
 
     Args:
       state: batch-shaped loop state.
       symbols: ``(..., t)`` CF32, batch shape matching ``state``.
+      unroll: ``lax.scan`` unroll factor (amortizes per-step overhead on
+        TPU; semantics unchanged).
     Returns:
       (new_state, derotated symbols ``(..., t)``).
     """
@@ -109,9 +112,26 @@ def costas_run(state: CostasState, symbols: CF32, params: CostasParams):
     def step(st, z):
         return costas_step(st, CF32(*z), params)
 
-    new_state, out = jax.lax.scan(step, state, tuple(xs))
+    new_state, out = jax.lax.scan(step, state, tuple(xs), unroll=unroll)
     return new_state, CF32(jnp.moveaxis(out.re, 0, -1),
                            jnp.moveaxis(out.im, 0, -1))
+
+
+def costas_run_traced(state: CostasState, symbols: CF32, params: CostasParams,
+                      unroll: int = 1):
+    """Like ``costas_run`` but also emits the per-symbol frequency trace
+    (rad/symbol), for frame-boundary metric readback in the fused stream
+    path (qpsk.c:217 reads the loop frequency once per frame)."""
+    xs = CF32(jnp.moveaxis(symbols.re, -1, 0), jnp.moveaxis(symbols.im, -1, 0))
+
+    def step(st, z):
+        st, out = costas_step(st, CF32(*z), params)
+        return st, (out, st.freq)
+
+    new_state, (out, freq) = jax.lax.scan(step, state, tuple(xs),
+                                          unroll=unroll)
+    return new_state, CF32(jnp.moveaxis(out.re, 0, -1),
+                           jnp.moveaxis(out.im, 0, -1)), jnp.moveaxis(freq, 0, -1)
 
 
 def freq_to_hz(freq_rad_per_symbol: jnp.ndarray, rs: float) -> jnp.ndarray:

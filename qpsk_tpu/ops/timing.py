@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qpsk_tpu.ops.cplx import CF32, cabs2, ctake_along_axis
+from qpsk_tpu.ops.cplx import CF32, cabs2
 
 
 def timing_histogram(frame: CF32, cycles: int) -> jnp.ndarray:
@@ -97,6 +97,33 @@ def timing_fractional(frame: CF32, cycles: int) -> jnp.ndarray:
     return jnp.mod(tau, float(cycles))
 
 
+def decimate_select(frame: CF32, index: jnp.ndarray, cycles: int) -> CF32:
+    """Gather-free decimation: pick sample ``s*cycles + index`` per symbol.
+
+    ``index`` (batch-shaped int32) ranges over [0, 2*cycles): the reference
+    histogram can emit up to 7 (8 buckets), which reads into the *next*
+    symbol group (and past the frame for the last symbol — UB in C,
+    qpsk.c:188-189; here the last group clamps to itself).
+
+    TPU note: ``take_along_axis`` over the lane axis is an order of
+    magnitude slower than compute on this chip (measured ~30 ms for what
+    the rest of the pipeline does in ~3), so the dynamic pick is expressed
+    as a one-hot contraction over the 2*cycles candidate phases — pure
+    VPU/MXU work, no gather.
+    """
+    nsym = frame.shape[-1] // cycles
+    batch_frame = frame.shape[:-1]
+
+    def one(plane):
+        r = plane.reshape(batch_frame + (nsym, cycles))
+        r_next = jnp.concatenate([r[..., 1:, :], r[..., -1:, :]], axis=-2)
+        r8 = jnp.concatenate([r, r_next], axis=-1)        # (..., nsym, 2c)
+        onehot = jax.nn.one_hot(index, 2 * cycles, dtype=plane.dtype)
+        return jnp.einsum("...sc,...c->...s", r8, onehot)
+
+    return CF32(one(frame.re), one(frame.im))
+
+
 def decimate_delayed(frame: CF32, delay: CF32, index: jnp.ndarray, cycles: int):
     """Pick one sample per symbol at phase ``index`` through the reference's
     one-frame delay line (qpsk.c:182-191).
@@ -104,13 +131,10 @@ def decimate_delayed(frame: CF32, delay: CF32, index: jnp.ndarray, cycles: int):
     Args:
       frame: (..., frame_size) filtered samples.
       delay: (..., nsym) previous frame's picks (state).
-      index: batch-shaped int32 timing index (may exceed cycles-1; clamped).
+      index: batch-shaped int32 timing index (may exceed cycles-1).
     Returns:
       (symbols_out, new_delay): the previous frame's symbols, and this
       frame's picks to carry.
     """
-    nsym = frame.shape[-1] // cycles
-    pos = jnp.arange(nsym, dtype=jnp.int32) * cycles + index[..., None]
-    pos = jnp.clip(pos, 0, frame.shape[-1] - 1)
-    picks = ctake_along_axis(frame, pos, axis=-1)
+    picks = decimate_select(frame, index, cycles)
     return delay, picks

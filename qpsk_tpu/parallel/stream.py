@@ -140,12 +140,8 @@ def rx_stream_timeparallel(cfg: ModemConfig, pcm: jnp.ndarray, mesh: Mesh,
             index = timing_ops.timing_histogram(frames, cfg.cycles)
         else:
             index = timing_ops.timing_power(frames, cfg.cycles)
-        nsf = cfg.symbols_per_frame
-        pos = (jnp.arange(nsf, dtype=jnp.int32)[None, :] * cfg.cycles
-               + index[:, None])
-        pos = jnp.clip(pos, 0, cfg.frame_size - 1)
-        picks = CF32(jnp.take_along_axis(frames.re, pos, axis=-1).reshape(-1),
-                     jnp.take_along_axis(frames.im, pos, axis=-1).reshape(-1))
+        p = timing_ops.decimate_select(frames, index, cfg.cycles)
+        picks = CF32(p.re.reshape(-1), p.im.reshape(-1))
 
         # block-local carrier re-acquisition → warm Costas
         nfft = min(cfg.nfft, L)
