@@ -195,6 +195,28 @@ def main(argv=None) -> int:
     rx.add_argument("infile", type=str)
     rx.set_defaults(fn=cmd_rx)
 
+    def _sweep(a) -> int:
+        from qpsk_tpu.eval import per_vs_snr
+        from qpsk_tpu.packet import PacketConfig
+        cfg = _cfg(a)
+        pcfg = PacketConfig(payload_bytes=(2 * cfg.symbols_per_frame - 16) // 8)
+        try:
+            snrs = [float(s) for s in a.snr_db.split(",")]
+        except ValueError:
+            print(f"error: --snr-db expects comma-separated numbers, "
+                  f"got {a.snr_db!r}", file=sys.stderr)
+            return 2
+        for rec in per_vs_snr(cfg, pcfg, snrs, nframes=a.frames,
+                              offset_hz=a.offset_hz, seed=a.seed):
+            print(json.dumps(rec))
+        return 0
+
+    sw = sub.add_parser("sweep", help="PER/BER vs SNR curve")
+    _add_common(sw)
+    sw.add_argument("--snr-db", type=str, default="0,3,6,9,12",
+                    help="comma-separated SNR points")
+    sw.set_defaults(fn=_sweep)
+
     def _bench(a) -> int:
         from qpsk_tpu.benchmarks import rx_throughput
         print(json.dumps(rx_throughput()))

@@ -1,0 +1,95 @@
+"""Link-evaluation harness: PER/BER/EVM vs SNR curves (BASELINE config #3).
+
+The sweep is TPU-shaped: every SNR point is a *channel* on the batch axis,
+so one fused ``rx_stream`` call evaluates the whole curve; only packet sync
+(a tiny host-side search per point) runs outside the jit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qpsk_tpu.channel import awgn_pcm
+from qpsk_tpu.config import ModemConfig
+from qpsk_tpu.metrics import evm
+from qpsk_tpu.modem import rx_stream, tx_stream
+from qpsk_tpu.ops.cplx import CF32
+from qpsk_tpu.packet import PacketConfig, assemble_packet
+from qpsk_tpu.state import rx_init, tx_init
+from qpsk_tpu.sync import extract_packets, find_sync
+
+
+def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
+               snr_db: Sequence[float], nframes: int = 120,
+               offset_hz: float = 50.0, seed: int = 0,
+               skip_frames: int = 8) -> list[dict]:
+    """Packet/bit error rates across SNR points, one fused RX pass.
+
+    Returns one record per SNR: {snr_db, per, ber, evm_rms, detected_hz,
+    packets, sync_score}.
+    """
+    assert pcfg.frame_bits == 2 * cfg.symbols_per_frame, (
+        "packet must fill one modem frame")
+    snr = np.asarray(list(snr_db), np.float32)
+    ns = snr.size
+    rng = np.random.default_rng(seed)
+    payload = jnp.asarray(rng.integers(
+        0, 2, (nframes, 8 * pcfg.payload_bytes), dtype=np.int32))
+    chan_bits = assemble_packet(pcfg, payload)
+
+    _, pcm = tx_stream(cfg, tx_init(cfg), chan_bits,
+                       tx_offset_hz=offset_hz)          # (F, frame)
+    pcm = jnp.broadcast_to(pcm, (ns,) + pcm.shape)      # (S, F, frame)
+    sp = float(jnp.mean((pcm[0].astype(jnp.float32) / cfg.pcm_scale) ** 2))
+    noisy = awgn_pcm(jax.random.key(seed), pcm, snr_db=jnp.asarray(snr),
+                     signal_power=sp, pcm_scale=cfg.pcm_scale)
+
+    state = rx_init(cfg, batch_shape=(ns,))
+    _, out = jax.jit(lambda s, x: rx_stream(cfg, s, x))(state, noisy)
+
+    m = evm(CF32(out.symbols.re[:, skip_frames:],
+                 out.symbols.im[:, skip_frames:]))
+    evm_rms = np.asarray(jnp.mean(m.evm_rms, axis=-1))
+    det = np.asarray(jnp.mean(out.freq_hz[:, -10:], axis=-1))
+
+    bits = np.asarray(out.bits).reshape(ns, -1)
+    want = np.asarray(payload)
+    results = []
+    skip_bits = skip_frames * pcfg.frame_bits
+    for i in range(ns):
+        stream = jnp.asarray(bits[i, skip_bits:])
+        sync = find_sync(pcfg, stream, max_lag=600, probe_frames=4)
+        navail = (stream.shape[0] - int(sync.bit_lag)) // pcfg.frame_bits
+        rec = {"snr_db": float(snr[i]), "evm_rms": float(evm_rms[i]),
+               "detected_hz": float(det[i]), "sync_score": int(sync.score),
+               "packets": 0, "per": 1.0, "ber": 0.5}
+        if int(sync.score) > 0 and navail > 0:
+            rx = extract_packets(pcfg, stream, sync, navail)
+            ok = np.asarray(rx.crc_ok)
+            got = np.asarray(rx.payload_bits)
+            # anchor stream offset using the first CRC-ok packet
+            k0 = None
+            if ok.any():
+                i0 = int(np.argmax(ok))
+                for k in range(want.shape[0]):
+                    if np.array_equal(got[i0], want[k]):
+                        k0 = k - i0
+                        break
+            errs, nbits, npk, nok = 0, 0, 0, 0
+            for j in range(navail):
+                if k0 is None or not (0 <= j + k0 < want.shape[0]):
+                    continue
+                npk += 1
+                ref = want[j + k0]
+                errs += int(np.sum(got[j] ^ ref))
+                nbits += ref.size
+                nok += int(ok[j] and np.array_equal(got[j], ref))
+            if npk:
+                rec.update(packets=npk, per=1.0 - nok / npk,
+                           ber=errs / max(nbits, 1))
+        results.append(rec)
+    return results

@@ -82,6 +82,79 @@ def tx_bits_frame(cfg: ModemConfig, state: TxState, bits: jnp.ndarray,
     return tx_frame(cfg, state, modmap.bits_to_symbols(bits), tx_offset_hz)
 
 
+def tx_stream(cfg: ModemConfig, state: TxState, bits: jnp.ndarray,
+              tx_offset_hz: float = 0.0, doppler_hz_per_s: float = 0.0):
+    """Fused TX over (..., nframes, bits_per_frame) bit frames.
+
+    One zero-stuff + one block FIR + one carrier mix for the whole stream
+    (the TX twin of the fused RX path).  ``doppler_hz_per_s`` adds a linear
+    carrier chirp — the quadratic-phase closed form
+    ``θ_k = ω·(k+1) + ½·dω·k²`` — used to synthesize the Doppler-ramp test
+    stimulus (BASELINE config #2).  With a chirp the carried NCO phase is
+    only exact within one call (one-shot simulation usage); without it the
+    output chains bit-identically with repeated ``tx_frame`` calls.
+    """
+    batch = bits.shape[:-2]
+    nframes = bits.shape[-2]
+    sym = modmap.bits_to_symbols(bits)              # (..., F, nsym)
+    nsym = sym.shape[-1]
+    flat = CF32(sym.re.reshape(batch + (nframes * nsym,)),
+                sym.im.reshape(batch + (nframes * nsym,)))
+    sig = modmap.upsample_zero_stuff(flat, cfg.cycles)
+    n = sig.shape[-1]
+    block = _pick_block(cfg.frame_size)
+    tmat = jnp.asarray(_tmat_for(cfg, block))
+    sig, fir_tail = rrc_ops.fir_block(sig, state.fir_tail, tmat, cfg.gain, block)
+
+    omega = TAU * (cfg.center + tx_offset_hz) / cfg.fs
+    if doppler_hz_per_s:
+        domega = TAU * doppler_hz_per_s / (cfg.fs * cfg.fs)
+        k = np.arange(n, dtype=np.float64)
+        theta = omega * (k + 1.0) + 0.5 * domega * k * k
+        ramp = CF32(jnp.asarray(np.cos(theta), jnp.float32),
+                    jnp.asarray(np.sin(theta), jnp.float32))
+        from qpsk_tpu.ops.cplx import cmul, cnormalize
+        phasors = cmul(CF32(state.nco_phase.re[..., None],
+                            state.nco_phase.im[..., None]), ramp)
+        sig = cmul(sig, phasors)
+        phase = cnormalize(CF32(phasors.re[..., -1], phasors.im[..., -1]))
+    else:
+        sig, phase = nco.mix(sig, state.nco_phase, omega, cfg.nco_mode)
+
+    pcm = (sig.re * jnp.float32(cfg.pcm_scale)).astype(jnp.int16)
+    pcm = pcm.reshape(batch + (nframes, nsym * cfg.cycles))
+    return TxState(fir_tail=fir_tail, nco_phase=phase), pcm
+
+
+def rx_acquire_hz(cfg: ModemConfig, pcm: jnp.ndarray) -> jnp.ndarray:
+    """Coarse carrier-offset estimate (Hz) from the first frames of PCM —
+    the front half of the RX chain (mix-down + matched filter) feeding the
+    4th-power FFT estimator (ops/acquire.py).  Use it to warm-start the
+    Costas loop: ``rx_init(cfg, acq_freq=hz_to_costas_freq(est, cfg.rs))``.
+
+    Capability upgrade over the reference, whose loop cold-starts and must
+    be hand-tuned to pull in offsets (README.md:12).
+    """
+    flat = pcm.reshape(pcm.shape[:-2] + (-1,)) if pcm.ndim >= 2 else pcm
+    n = min(flat.shape[-1], 4 * cfg.nfft)
+    n -= n % cfg.frame_size
+    xr = flat[..., :n].astype(jnp.float32) / jnp.float32(cfg.pcm_scale)
+    x = CF32(xr, jnp.zeros_like(xr))
+    x, _ = nco.mix(x, nco.nco_init(xr.shape[:-1]), -cfg.omega_center, "fast")
+    block = _pick_block(cfg.frame_size)
+    tmat = jnp.asarray(_tmat_for(cfg, block))
+    x, _ = rrc_ops.fir_block(
+        x, rrc_ops.fir_init_tail(cfg.ntaps, xr.shape[:-1]), tmat,
+        cfg.gain, block)
+    from qpsk_tpu.ops import acquire
+    nfft = min(cfg.nfft, n)
+    # skip the filter's fill-in transient
+    start = min(cfg.ntaps, n - nfft)
+    return acquire.acquire_freq_hz(
+        CF32(x.re[..., start:start + nfft], x.im[..., start:start + nfft]),
+        cfg.fs, nfft=nfft)
+
+
 def rx_frame(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     """Demodulate one FRAME_SIZE block of int16 PCM (qpsk.c:88-218).
 
