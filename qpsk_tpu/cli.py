@@ -49,7 +49,7 @@ def cmd_loopback(args) -> int:
     from qpsk_tpu.modem import rx_stream, tx_bits_frame
     from qpsk_tpu.ops.cplx import CF32
     from qpsk_tpu.packet import PacketConfig, assemble_packet
-    from qpsk_tpu.sync import extract_packets, find_sync
+    from qpsk_tpu.sync import extract_packets_tracked, find_sync
 
     cfg = _cfg(args)
     pcfg = PacketConfig(payload_bytes=30)
@@ -77,7 +77,7 @@ def cmd_loopback(args) -> int:
                      max_lag=600, probe_frames=4)
     navail = ((bits.size - skip * pcfg.frame_bits - int(sync.bit_lag))
               // pcfg.frame_bits)
-    rx = extract_packets(pcfg, bits[skip * pcfg.frame_bits:], sync, navail)
+    rx = extract_packets_tracked(pcfg, bits[skip * pcfg.frame_bits:], sync, navail)
     m = evm(CF32(out.symbols.re[skip:], out.symbols.im[skip:]))
 
     result = {
@@ -149,7 +149,7 @@ def cmd_rx(args) -> int:
     from qpsk_tpu.metrics import per
     from qpsk_tpu.modem import rx_stream
     from qpsk_tpu.packet import PacketConfig
-    from qpsk_tpu.sync import extract_packets, find_sync
+    from qpsk_tpu.sync import extract_packets_tracked, find_sync
 
     cfg = _cfg(args)
     pcfg = PacketConfig(payload_bytes=30)
@@ -162,7 +162,7 @@ def cmd_rx(args) -> int:
     skip = min(8, nframes // 4) * pcfg.frame_bits
     sync = find_sync(pcfg, bits[skip:], max_lag=600, probe_frames=4)
     navail = (bits.size - skip - int(sync.bit_lag)) // pcfg.frame_bits
-    rx = extract_packets(pcfg, bits[skip:], sync, navail)
+    rx = extract_packets_tracked(pcfg, bits[skip:], sync, navail)
     print(json.dumps({
         "frames": nframes,
         "detected_offset_hz": round(float(np.mean(np.asarray(out.freq_hz)[-10:])), 2),

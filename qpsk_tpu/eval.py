@@ -20,7 +20,7 @@ from qpsk_tpu.modem import rx_stream, tx_stream
 from qpsk_tpu.ops.cplx import CF32
 from qpsk_tpu.packet import PacketConfig, assemble_packet
 from qpsk_tpu.state import rx_init, tx_init
-from qpsk_tpu.sync import extract_packets, find_sync
+from qpsk_tpu.sync import extract_packets_tracked, find_sync
 
 
 def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
@@ -68,7 +68,7 @@ def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
                "detected_hz": float(det[i]), "sync_score": int(sync.score),
                "packets": 0, "per": 1.0, "ber": 0.5}
         if int(sync.score) > 0 and navail > 0:
-            rx = extract_packets(pcfg, stream, sync, navail)
+            rx = extract_packets_tracked(pcfg, stream, sync, navail)
             ok = np.asarray(rx.crc_ok)
             got = np.asarray(rx.payload_bits)
             # anchor stream offset using the first CRC-ok packet

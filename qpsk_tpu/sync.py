@@ -92,3 +92,49 @@ def extract_packets(pcfg: PacketConfig, bits: jnp.ndarray, sync: SyncResult,
     idx = sync.bit_lag + jnp.arange(nframes * fb, dtype=jnp.int32)
     aligned = rotate_dibits(bits[idx], sync.rotation)
     return disassemble_packet(pcfg, aligned.reshape(nframes, fb))
+
+
+class TrackedPackets(NamedTuple):
+    payload_bits: jnp.ndarray  # (nframes, 8*payload_bytes)
+    crc_ok: jnp.ndarray        # (nframes,) bool
+    rotation: jnp.ndarray      # (nframes,) int32 — rotation used per packet
+
+
+def extract_packets_tracked(pcfg: PacketConfig, bits: jnp.ndarray,
+                            sync: SyncResult, nframes: int) -> TrackedPackets:
+    """Like ``extract_packets`` but recovers from Costas **cycle slips**:
+    at low SNR the loop occasionally slips 90°, rotating every subsequent
+    symbol.  All four rotation hypotheses of every packet are disassembled
+    in one batched pass (cheap: dibit permutation + XOR + CRC scan); per
+    packet, a hypothesis passing CRC wins and updates the tracked rotation,
+    and CRC-failed packets are decoded at the tracked rotation — so one
+    slip costs at most the packet it lands in, not the rest of the stream.
+    A 16-bit CRC accepts a wrong hypothesis with p = 2^-16.
+    """
+    fb = pcfg.frame_bits
+    idx = sync.bit_lag + jnp.arange(nframes * fb, dtype=jnp.int32)
+    frames = bits[idx].reshape(nframes, fb)
+    # all rotations, batched: (4, nframes, fb) -> payloads + crc verdicts
+    cand = jnp.stack([rotate_dibits(frames, r) for r in range(4)])
+    rx = disassemble_packet(pcfg, cand)
+    ok = np.asarray(rx.crc_ok)                     # (4, nframes)
+    payloads = np.asarray(rx.payload_bits)         # (4, nframes, bits)
+    current = int(sync.rotation)
+    rot_used = np.zeros(nframes, np.int32)
+    out_ok = np.zeros(nframes, bool)
+    out_payload = np.zeros((nframes, payloads.shape[-1]), payloads.dtype)
+    for j in range(nframes):
+        passing = np.flatnonzero(ok[:, j])
+        if passing.size:
+            # prefer the tracked rotation when it passes, else adopt the
+            # (unique, modulo CRC collisions) passing hypothesis
+            r = current if ok[current, j] else int(passing[0])
+            current = r
+            out_ok[j] = True
+        else:
+            r = current
+        rot_used[j] = r
+        out_payload[j] = payloads[r, j]
+    return TrackedPackets(payload_bits=jnp.asarray(out_payload),
+                          crc_ok=jnp.asarray(out_ok),
+                          rotation=jnp.asarray(rot_used))
