@@ -46,7 +46,7 @@ def cmd_loopback(args) -> int:
     from qpsk_tpu import rx_init, tx_init
     from qpsk_tpu.channel import awgn_pcm
     from qpsk_tpu.metrics import evm, per
-    from qpsk_tpu.modem import rx_stream, tx_bits_frame
+    from qpsk_tpu.modem import rx_stream
     from qpsk_tpu.ops.cplx import CF32
     from qpsk_tpu.packet import PacketConfig, assemble_packet
     from qpsk_tpu.sync import extract_packets_tracked, find_sync
@@ -58,11 +58,10 @@ def cmd_loopback(args) -> int:
         rng.integers(0, 2, (args.frames, 8 * pcfg.payload_bytes), dtype=np.int32))
     chan_bits = assemble_packet(pcfg, payload)
 
-    def tx_one(st, bits):
-        st, pcm = tx_bits_frame(cfg, st, bits, tx_offset_hz=args.offset_hz)
-        return st, pcm
-
-    _, pcm = jax.lax.scan(tx_one, tx_init(cfg), chan_bits)
+    from qpsk_tpu.modem import tx_stream
+    _, pcm = tx_stream(cfg, tx_init(cfg), chan_bits,
+                       tx_offset_hz=args.offset_hz,
+                       doppler_hz_per_s=args.doppler)
     if args.snr_db is not None:
         sp = float(jnp.mean((pcm.astype(jnp.float32) / cfg.pcm_scale) ** 2))
         pcm = awgn_pcm(jax.random.key(args.seed), pcm,
@@ -118,11 +117,10 @@ def _scatter_png(path: str, symbols, skip: int) -> None:
 
 
 def cmd_tx(args) -> int:
-    import jax
     import jax.numpy as jnp
 
     from qpsk_tpu import tx_init
-    from qpsk_tpu.modem import tx_bits_frame
+    from qpsk_tpu.modem import tx_stream
     from qpsk_tpu.packet import PacketConfig, assemble_packet
 
     cfg = _cfg(args)
@@ -130,14 +128,16 @@ def cmd_tx(args) -> int:
     rng = np.random.default_rng(args.seed)
     payload = jnp.asarray(
         rng.integers(0, 2, (args.frames, 8 * pcfg.payload_bytes), dtype=np.int32))
-    chan_bits = assemble_packet(pcfg, payload)
-
-    def tx_one(st, bits):
-        st, pcm = tx_bits_frame(cfg, st, bits, tx_offset_hz=args.offset_hz)
-        return st, pcm
-
-    _, pcm = jax.lax.scan(tx_one, tx_init(cfg), chan_bits)
-    np.asarray(pcm).astype("<i2").tofile(args.out)
+    _, pcm = tx_stream(cfg, tx_init(cfg), assemble_packet(pcfg, payload),
+                       tx_offset_hz=args.offset_hz)
+    pcm = np.asarray(pcm)
+    if args.out.endswith(".wav"):
+        from qpsk_tpu.io import write_wav
+        write_wav(args.out, pcm.reshape(-1), int(cfg.fs))
+    else:
+        from qpsk_tpu.io import SpoolWriter
+        with SpoolWriter(args.out, pcm.shape[-1]) as w:
+            w.write(pcm)
     print(json.dumps({"samples": int(pcm.size), "file": args.out}))
     return 0
 
@@ -153,7 +153,17 @@ def cmd_rx(args) -> int:
 
     cfg = _cfg(args)
     pcfg = PacketConfig(payload_bytes=30)
-    pcm = np.fromfile(args.infile, dtype="<i2")
+    if args.infile.endswith(".wav"):
+        from qpsk_tpu.io import read_wav
+        pcm, sr = read_wav(args.infile)
+        if sr != int(cfg.fs):
+            print(f"error: {args.infile} is {sr} S/s, modem runs at "
+                  f"{int(cfg.fs)}", file=sys.stderr)
+            return 2
+    else:
+        from qpsk_tpu.io import SpoolReader
+        with SpoolReader(args.infile, cfg.frame_size) as r:
+            pcm = r.read(1 << 20).reshape(-1)
     nframes = pcm.size // cfg.frame_size
     pcm = jnp.asarray(pcm[:nframes * cfg.frame_size].reshape(nframes,
                                                              cfg.frame_size))
@@ -181,6 +191,8 @@ def main(argv=None) -> int:
     _add_common(lp)
     lp.add_argument("--snr-db", type=float, default=None,
                     help="AWGN SNR; omit for the reference's noiseless loop")
+    lp.add_argument("--doppler", type=float, default=0.0,
+                    help="carrier chirp rate, Hz/s (Doppler ramp stimulus)")
     lp.add_argument("--scatter", type=str, default=None,
                     help="write a constellation PNG artifact")
     lp.set_defaults(fn=cmd_loopback)

@@ -43,7 +43,9 @@ class ModemConfig:
     # --- mode switches (new capability, not in reference) ---
     # timing: "histogram" replicates qpsk.c:131-180 exactly (the estimator the
     # reference README calls unreliable); "power" is the robust
-    # Oerder&Meyr-style squared-envelope estimator used by default.
+    # Oerder&Meyr-style squared-envelope integer-phase estimator (default);
+    # "fractional" adds cubic-interpolating decimation at the O&M fractional
+    # estimate (robust to off-grid symbol clocks).
     timing_mode: str = "power"
     # nco: "fast" uses closed-form phasor ramps (embarrassingly parallel);
     # "exact" replicates the C sequential phase product (qpsk.c:115) in a scan
@@ -71,7 +73,7 @@ class ModemConfig:
             raise ValueError(f"fs={self.fs} must be an integer multiple of rs={self.rs}")
         if self.ntaps % 2 != 1:
             raise ValueError("ntaps must be odd")
-        if self.timing_mode not in ("histogram", "power"):
+        if self.timing_mode not in ("histogram", "power", "fractional"):
             raise ValueError(f"unknown timing_mode {self.timing_mode!r}")
         if self.nco_mode not in ("fast", "exact"):
             raise ValueError(f"unknown nco_mode {self.nco_mode!r}")

@@ -172,10 +172,16 @@ def rx_frame(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
 
     if cfg.timing_mode == "histogram":
         index = timing_ops.timing_histogram(x, cfg.cycles)
+        picks = timing_ops.decimate_select(x, index, cfg.cycles)
+    elif cfg.timing_mode == "fractional":
+        tau = timing_ops.timing_fractional(x, cfg.cycles)
+        picks = timing_ops.decimate_fractional(x, tau, cfg.cycles)
+        index = jnp.round(tau).astype(jnp.int32)
     else:
         index = timing_ops.timing_power(x, cfg.cycles)
-    symbols, decim_delay = timing_ops.decimate_delayed(
-        x, state.decim_delay, index, cfg.cycles)
+        picks = timing_ops.decimate_select(x, index, cfg.cycles)
+    # one-frame delay line (qpsk.c:182-191): emit the previous frame's picks
+    symbols, decim_delay = state.decim_delay, picks
 
     params = costas_ops.costas_params(cfg.loop_bw, cfg.damping,
                                       cfg.min_freq, cfg.max_freq)
@@ -247,12 +253,17 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
                   x.im.reshape(batch + (nframes, fsz)))
     if cfg.timing_mode == "histogram":
         index = timing_ops.timing_histogram(frames, cfg.cycles)
+        picks = timing_ops.decimate_select(frames, index, cfg.cycles)
+    elif cfg.timing_mode == "fractional":
+        tau = timing_ops.timing_fractional(frames, cfg.cycles)
+        picks = timing_ops.decimate_fractional(frames, tau, cfg.cycles)
+        index = jnp.round(tau).astype(jnp.int32)
     else:
         index = timing_ops.timing_power(frames, cfg.cycles)
+        picks = timing_ops.decimate_select(frames, index, cfg.cycles)
 
-    # per-frame decimation picks, then the one-frame delay in batch:
+    # per-frame decimation picks feed the one-frame delay in batch:
     # outputs for frame f are the picks of frame f-1 (qpsk.c:186-191)
-    picks = timing_ops.decimate_select(frames, index, cfg.cycles)
     delayed = CF32(
         jnp.concatenate([state.decim_delay.re[..., None, :],
                          picks.re[..., :-1, :]], axis=-2),

@@ -137,3 +137,95 @@ def costas_run_traced(state: CostasState, symbols: CF32, params: CostasParams,
 def freq_to_hz(freq_rad_per_symbol: jnp.ndarray, rs: float) -> jnp.ndarray:
     """Detected offset in Hz at the symbol rate (qpsk.c:217)."""
     return freq_rad_per_symbol * jnp.float32(rs / TAU)
+
+
+class CostasLoop:
+    """Object-style facade mirroring the reference's full control-loop API
+    (costas_loop.h:16-43: create_control_loop + 8 setters / 8 getters),
+    for users porting code from the C modem.  The functional core
+    (CostasParams/CostasState + costas_run) stays the canonical interface;
+    this class just owns one (params, state) pair and re-derives the gains
+    on bandwidth/damping changes exactly like update_gains
+    (costas_loop.c:49-54).
+    """
+
+    def __init__(self, loop_bw: float, min_freq: float = -1.0,
+                 max_freq: float = 1.0,
+                 damping: float = math.sqrt(2.0) / 2.0, batch_shape=()):
+        self._bw = float(loop_bw)
+        self._damping = float(damping)
+        self._min = float(min_freq)
+        self._max = float(max_freq)
+        self._alpha = None  # explicit overrides (set_alpha/set_beta)
+        self._beta = None
+        self.state = costas_init(batch_shape)
+
+    # --- gains (costas_loop.c:49-54, 79-115) ---
+    def _params(self) -> CostasParams:
+        p = costas_params(self._bw, self._damping, self._min, self._max)
+        if self._alpha is not None:
+            p = p._replace(alpha=jnp.float32(self._alpha))
+        if self._beta is not None:
+            p = p._replace(beta=jnp.float32(self._beta))
+        return p
+
+    def set_loop_bandwidth(self, bw: float):
+        self._bw = float(bw)
+        self._alpha = self._beta = None     # update_gains recomputes both
+
+    def set_damping_factor(self, d: float):
+        self._damping = float(d)
+        self._alpha = self._beta = None
+
+    def set_alpha(self, a: float):
+        self._alpha = float(a)
+
+    def set_beta(self, b: float):
+        self._beta = float(b)
+
+    def set_frequency(self, f):
+        p = self._params()
+        self.state = self.state._replace(
+            freq=jnp.clip(jnp.broadcast_to(jnp.float32(f),
+                                           self.state.freq.shape),
+                          p.min_freq, p.max_freq))
+
+    def set_phase(self, ph):
+        self.state = self.state._replace(
+            phase=_wrap_phase(jnp.broadcast_to(jnp.float32(ph),
+                                               self.state.phase.shape)))
+
+    def set_max_freq(self, f: float):
+        self._max = float(f)
+
+    def set_min_freq(self, f: float):
+        self._min = float(f)
+
+    def get_loop_bandwidth(self) -> float:
+        return self._bw
+
+    def get_damping_factor(self) -> float:
+        return self._damping
+
+    def get_alpha(self):
+        return float(self._params().alpha)
+
+    def get_beta(self):
+        return float(self._params().beta)
+
+    def get_frequency(self):
+        return self.state.freq
+
+    def get_phase(self):
+        return self.state.phase
+
+    def get_max_freq(self) -> float:
+        return self._max
+
+    def get_min_freq(self) -> float:
+        return self._min
+
+    def __call__(self, symbols: CF32) -> CF32:
+        """Track a block of symbols, advancing the owned state."""
+        self.state, out = costas_run(self.state, symbols, self._params())
+        return out

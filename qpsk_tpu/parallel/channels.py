@@ -34,15 +34,21 @@ def shard_channel_state(state: RxState, mesh: Mesh, axis: str = "dp") -> RxState
 
 def make_channel_demod(cfg: ModemConfig, mesh: Mesh, axis: str = "dp"):
     """Build a jitted (state, pcm) -> (state, RxOut) over (channels, frames,
-    frame_size) PCM with channels sharded over the mesh."""
-    sharding = NamedSharding(mesh, P(axis))
+    frame_size) PCM with channels sharded over the mesh.
 
-    @functools.partial(jax.jit,
-                       out_shardings=(sharding, sharding))
-    def demod(state: RxState, pcm):
+    Implemented with shard_map (not just sharding annotations) so the body
+    traces with *local* per-device shapes — the Pallas Costas kernel then
+    launches per device with no cross-device partitioning questions, and
+    channels stay fully independent (no collectives in steady state).
+    """
+    from jax import shard_map
+
+    def body(state: RxState, pcm):
         return rx_stream(cfg, state, pcm)
 
-    return demod
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis), P(axis)),
+                   out_specs=(P(axis), P(axis)))
+    return jax.jit(fn)
 
 
 def init_channels(cfg: ModemConfig, nchannels: int, mesh: Mesh,
