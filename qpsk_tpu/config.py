@@ -63,6 +63,10 @@ class ModemConfig:
     # batch shape allows (channels % 128 == 0), else the lax.scan lowering;
     # "scan" / "pallas" force one.  Both are bit-identical.
     costas_impl: str = "auto"
+    # fir_precision: "fast" = one bf16 MXU pass (~0.3% output error, far
+    # below any channel noise; ~1.8x faster); "exact" = HIGHEST-precision
+    # f32 (parity-grade, required by the golden-vector tests).
+    fir_precision: str = "fast"
     nfft: int = 512              # acquisition FFT size       (fft.h:44)
 
     # --- packet layer (reference algorithms/, dormant there) ---
@@ -81,6 +85,8 @@ class ModemConfig:
             raise ValueError(f"unknown slicer {self.slicer!r}")
         if self.costas_impl not in ("auto", "scan", "pallas"):
             raise ValueError(f"unknown costas_impl {self.costas_impl!r}")
+        if self.fir_precision not in ("fast", "exact"):
+            raise ValueError(f"unknown fir_precision {self.fir_precision!r}")
         if self.acquisition not in ("none", "fft"):
             raise ValueError(f"unknown acquisition {self.acquisition!r}")
 
@@ -114,4 +120,5 @@ def config_parity() -> ModemConfig:
     (qpsk.c:131-180), sequential NCO rounding (qpsk.c:115), cold-start
     Costas (qpsk.c:302), rotate-45 slicer (qpsk.c:74-79)."""
     return ModemConfig(timing_mode="histogram", nco_mode="exact",
-                       acquisition="none", slicer="reference")
+                       acquisition="none", slicer="reference",
+                       fir_precision="exact")

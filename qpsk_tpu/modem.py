@@ -50,6 +50,12 @@ def _tmat_for(cfg: ModemConfig, block: int) -> np.ndarray:
     return rrc_ops.toeplitz_taps(taps_for(cfg), block)
 
 
+def _prec(cfg: ModemConfig):
+    """FIR matmul precision from the config (see ModemConfig.fir_precision)."""
+    return (jax.lax.Precision.DEFAULT if cfg.fir_precision == "fast"
+            else jax.lax.Precision.HIGHEST)
+
+
 class RxOut(NamedTuple):
     symbols: CF32            # (..., nsym) Costas-derotated constellation pts
     bits: jnp.ndarray        # (..., 2*nsym) sliced bits
@@ -68,7 +74,8 @@ def tx_frame(cfg: ModemConfig, state: TxState, symbols: CF32,
     n = sig.shape[-1]
     block = _pick_block(n)
     tmat = jnp.asarray(_tmat_for(cfg, block))
-    sig, fir_tail = rrc_ops.fir_block(sig, state.fir_tail, tmat, cfg.gain, block)
+    sig, fir_tail = rrc_ops.fir_block(sig, state.fir_tail, tmat, cfg.gain, block,
+                                      precision=_prec(cfg))
     omega = TAU * (cfg.center + tx_offset_hz) / cfg.fs
     sig, phase = nco.mix(sig, state.nco_phase, omega, cfg.nco_mode)
     # (int16)(Re * 16384.0f): C float->int conversion truncates toward zero.
@@ -104,7 +111,8 @@ def tx_stream(cfg: ModemConfig, state: TxState, bits: jnp.ndarray,
     n = sig.shape[-1]
     block = _pick_block(cfg.frame_size)
     tmat = jnp.asarray(_tmat_for(cfg, block))
-    sig, fir_tail = rrc_ops.fir_block(sig, state.fir_tail, tmat, cfg.gain, block)
+    sig, fir_tail = rrc_ops.fir_block(sig, state.fir_tail, tmat, cfg.gain, block,
+                                      precision=_prec(cfg))
 
     omega = TAU * (cfg.center + tx_offset_hz) / cfg.fs
     if doppler_hz_per_s:
@@ -168,7 +176,8 @@ def rx_frame(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     x, nco_phase = nco.mix(x, state.nco_phase, -cfg.omega_center, cfg.nco_mode)
     block = _pick_block(n)
     tmat = jnp.asarray(_tmat_for(cfg, block))
-    x, fir_tail = rrc_ops.fir_block(x, state.fir_tail, tmat, cfg.gain, block)
+    x, fir_tail = rrc_ops.fir_block(x, state.fir_tail, tmat, cfg.gain, block,
+                                    precision=_prec(cfg))
 
     if cfg.timing_mode == "histogram":
         index = timing_ops.timing_histogram(x, cfg.cycles)
@@ -247,7 +256,8 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     x, nco_phase = nco.mix(x, state.nco_phase, -cfg.omega_center, "fast")
     block = _pick_block(fsz)
     tmat = jnp.asarray(_tmat_for(cfg, block))
-    x, fir_tail = rrc_ops.fir_block(x, state.fir_tail, tmat, cfg.gain, block)
+    x, fir_tail = rrc_ops.fir_block(x, state.fir_tail, tmat, cfg.gain, block,
+                                    precision=_prec(cfg))
 
     frames = CF32(x.re.reshape(batch + (nframes, fsz)),
                   x.im.reshape(batch + (nframes, fsz)))

@@ -108,7 +108,7 @@ def _windows(plane: jnp.ndarray, nb: int, block: int, width: int) -> jnp.ndarray
 
 
 def fir_block(x: CF32, tail: CF32, tmat: jnp.ndarray, gain: float,
-              block: int = 256):
+              block: int = 256, precision=None):
     """Apply the streaming RRC FIR over a block of samples.
 
     Args:
@@ -119,6 +119,10 @@ def fir_block(x: CF32, tail: CF32, tmat: jnp.ndarray, gain: float,
         addition* to the gain baked into the taps, matching the reference's
         double-GAIN quirk.
       block: output tile width (multiple of 128 for MXU alignment).
+      precision: matmul precision; defaults to HIGHEST (parity-grade f32).
+        DEFAULT (one bf16 MXU pass) is ~1.8x faster on v5e with ~0.3%
+        output error — far below any channel noise floor but outside the
+        golden-parity tolerance, so parity mode must keep HIGHEST.
 
     Returns:
       (y, new_tail): filtered samples ``(..., n)`` and the tail to carry.
@@ -129,17 +133,17 @@ def fir_block(x: CF32, tail: CF32, tmat: jnp.ndarray, gain: float,
     assert n % block == 0, (n, block)
     nb = n // block
     width = block + ntaps_m1
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
 
     ext_re = jnp.concatenate([tail.re, x.re], axis=-1)
     ext_im = jnp.concatenate([tail.im, x.im], axis=-1)
     wr = _windows(ext_re, nb, block, width)  # (..., nb, width)
     wi = _windows(ext_im, nb, block, width)
-    # HIGHEST: default matmul precision truncates f32 inputs to bf16 (~1%
-    # error) — far outside the modem's parity tolerance.
     yr = jnp.matmul(wr, tmat, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=precision)
     yi = jnp.matmul(wi, tmat, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=precision)
     g = jnp.float32(gain)
     y = CF32((yr * g).reshape(x.shape[:-1] + (n,)),
              (yi * g).reshape(x.shape[:-1] + (n,)))

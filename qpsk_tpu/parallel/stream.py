@@ -39,7 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from qpsk_tpu.config import TAU, ModemConfig
-from qpsk_tpu.modem import _pick_block, _tmat_for
+from qpsk_tpu.modem import _pick_block, _prec, _tmat_for
 from qpsk_tpu.ops import costas as costas_ops
 from qpsk_tpu.ops import acquire, modmap, timing as timing_ops
 from qpsk_tpu.ops import rrc as rrc_ops
@@ -83,7 +83,7 @@ def _mixdown_fir_local(cfg: ModemConfig, pcm_local: jnp.ndarray,
 
     block = _pick_block(L)
     tmat = jnp.asarray(_tmat_for(cfg, block))
-    y, _ = rrc_ops.fir_block(x, halo, tmat, cfg.gain, block)
+    y, _ = rrc_ops.fir_block(x, halo, tmat, cfg.gain, block, precision=_prec(cfg))
     return y
 
 
