@@ -28,6 +28,43 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def tx_throughput(channels: int | None = None, frames: int | None = None,
+                  iters: int | None = None) -> dict:
+    """Aggregate TX modulation rate (mod + zero-stuff + RRC + mix + PCM)."""
+    from qpsk_tpu import ModemConfig, tx_init
+    from qpsk_tpu.modem import tx_stream
+
+    cfg = ModemConfig()
+    platform = jax.devices()[0].platform
+    channels = channels or (2048 if platform == "tpu" else 16)
+    frames = frames or (16 if platform == "tpu" else 4)
+    iters = iters or (20 if platform == "tpu" else 3)
+    nsym = cfg.symbols_per_frame
+    nsamples = channels * frames * cfg.frame_size
+
+    key = jax.random.key(0)
+    bits = (jax.random.uniform(key, (channels, frames, 2 * nsym))
+            < 0.5).astype(jnp.int32)
+    state = tx_init(cfg, batch_shape=(channels,))
+
+    @jax.jit
+    def step(st, b):
+        st, pcm = tx_stream(cfg, st, b, tx_offset_hz=50.0)
+        return st, jnp.sum(pcm.astype(jnp.int32))
+
+    st, chk = step(state, bits)
+    float(np.asarray(chk))
+    t0 = time.perf_counter()
+    st = state
+    for _ in range(iters):
+        st, chk = step(st, bits)
+    float(np.asarray(chk))
+    dt = time.perf_counter() - t0
+    sps = nsamples * iters / dt
+    return {"metric": "tx_mod_throughput", "value": round(sps, 1),
+            "unit": "samples/s", "platform": platform, "channels": channels}
+
+
 def rx_throughput(channels: int | None = None, frames: int | None = None,
                   iters: int | None = None) -> dict:
     from qpsk_tpu import ModemConfig, rx_init
