@@ -70,6 +70,11 @@ def cmd_loopback(args) -> int:
 
     _, out = rx_stream(cfg, rx_init(cfg), pcm.reshape(-1, cfg.frame_size))
 
+    if args.frames < 8:
+        print(f"error: --frames must be >= 8 (packet sync needs a probe "
+              f"window past the Costas transient), got {args.frames}",
+              file=sys.stderr)
+        return 2
     skip = min(8, args.frames // 4)
     bits = out.bits.ravel()
     sync = find_sync(pcfg, bits[skip * pcfg.frame_bits:],
@@ -161,12 +166,18 @@ def cmd_rx(args) -> int:
                   f"{int(cfg.fs)}", file=sys.stderr)
             return 2
     else:
+        import os
         from qpsk_tpu.io import SpoolReader
+        navail = os.path.getsize(args.infile) // (2 * cfg.frame_size)
         with SpoolReader(args.infile, cfg.frame_size) as r:
-            pcm = r.read(1 << 20).reshape(-1)
+            pcm = r.read(max(navail, 1)).reshape(-1)
     nframes = pcm.size // cfg.frame_size
     pcm = jnp.asarray(pcm[:nframes * cfg.frame_size].reshape(nframes,
                                                              cfg.frame_size))
+    if nframes < 8:
+        print(f"error: {args.infile} holds only {nframes} frames; packet "
+              f"sync needs at least 8", file=sys.stderr)
+        return 2
     _, out = rx_stream(cfg, rx_init(cfg), pcm)
     bits = out.bits.ravel()
     skip = min(8, nframes // 4) * pcfg.frame_bits

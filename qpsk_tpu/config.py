@@ -75,6 +75,12 @@ class ModemConfig:
     def __post_init__(self):
         if self.fs % self.rs != 0:
             raise ValueError(f"fs={self.fs} must be an integer multiple of rs={self.rs}")
+        if self.frame_size % int(self.fs / self.rs) != 0:
+            raise ValueError(
+                f"frame_size={self.frame_size} must be divisible by "
+                f"cycles={int(self.fs / self.rs)} (samples per symbol) — "
+                "the timing/decimation pipeline reshapes frames into whole "
+                "symbol groups")
         if self.ntaps % 2 != 1:
             raise ValueError("ntaps must be odd")
         if self.timing_mode not in ("histogram", "power", "fractional"):

@@ -105,22 +105,52 @@ int wav_write(const char *path, const int16_t *samples, int64_t n,
 }
 
 // Returns sample count, fills *sample_rate; buf==nullptr queries the size.
+// Walks RIFF chunks properly (real-world WAVs carry LIST/fact chunks and
+// 18-byte fmt blocks between 'fmt ' and 'data').
 int64_t wav_read(const char *path, int16_t *buf, int64_t maxn,
                  int32_t *sample_rate) {
     FILE *f = std::fopen(path, "rb");
     if (!f) return -1;
-    WavHeader h;
-    if (std::fread(&h, sizeof h, 1, f) != 1 ||
-        std::memcmp(h.riff, "RIFF", 4) != 0 || h.format != 1 ||
-        h.bits != 16 || h.channels != 1) {
+    char riff[4], wave[4];
+    uint32_t riff_size;
+    if (std::fread(riff, 4, 1, f) != 1 || std::fread(&riff_size, 4, 1, f) != 1 ||
+        std::fread(wave, 4, 1, f) != 1 ||
+        std::memcmp(riff, "RIFF", 4) != 0 || std::memcmp(wave, "WAVE", 4) != 0) {
         std::fclose(f);
         return -1;
     }
-    if (sample_rate) *sample_rate = (int32_t)h.sample_rate;
-    int64_t n = h.data_size / 2;
-    if (buf) {
-        if (n > maxn) n = maxn;
-        n = (int64_t)std::fread(buf, 2, (size_t)n, f);
+    bool fmt_ok = false;
+    int64_t n = -1;
+    for (;;) {
+        char id[4];
+        uint32_t size;
+        if (std::fread(id, 4, 1, f) != 1 || std::fread(&size, 4, 1, f) != 1)
+            break;
+        if (std::memcmp(id, "fmt ", 4) == 0) {
+            uint16_t format, channels, block_align, bits;
+            uint32_t rate, byte_rate;
+            if (size < 16 || std::fread(&format, 2, 1, f) != 1 ||
+                std::fread(&channels, 2, 1, f) != 1 ||
+                std::fread(&rate, 4, 1, f) != 1 ||
+                std::fread(&byte_rate, 4, 1, f) != 1 ||
+                std::fread(&block_align, 2, 1, f) != 1 ||
+                std::fread(&bits, 2, 1, f) != 1)
+                break;
+            if (format != 1 || channels != 1 || bits != 16) break;
+            if (sample_rate) *sample_rate = (int32_t)rate;
+            fmt_ok = true;
+            if (size > 16) std::fseek(f, size - 16, SEEK_CUR);
+        } else if (std::memcmp(id, "data", 4) == 0) {
+            if (!fmt_ok) break;
+            n = size / 2;
+            if (buf) {
+                if (n > maxn) n = maxn;
+                n = (int64_t)std::fread(buf, 2, (size_t)n, f);
+            }
+            break;
+        } else {
+            std::fseek(f, size + (size & 1), SEEK_CUR);  // chunks pad to even
+        }
     }
     std::fclose(f);
     return n;

@@ -109,7 +109,9 @@ def tx_stream(cfg: ModemConfig, state: TxState, bits: jnp.ndarray,
                 sym.im.reshape(batch + (nframes * nsym,)))
     sig = modmap.upsample_zero_stuff(flat, cfg.cycles)
     n = sig.shape[-1]
-    block = _pick_block(cfg.frame_size)
+    # block from the per-frame sample count (NOT cfg.frame_size): callers
+    # may pass frames of any symbol length, like tx_frame does
+    block = _pick_block(nsym * cfg.cycles)
     tmat = jnp.asarray(_tmat_for(cfg, block))
     sig, fir_tail = rrc_ops.fir_block(sig, state.fir_tail, tmat, cfg.gain, block,
                                       precision=_prec(cfg))
@@ -117,15 +119,7 @@ def tx_stream(cfg: ModemConfig, state: TxState, bits: jnp.ndarray,
     omega = TAU * (cfg.center + tx_offset_hz) / cfg.fs
     if doppler_hz_per_s:
         domega = TAU * doppler_hz_per_s / (cfg.fs * cfg.fs)
-        k = np.arange(n, dtype=np.float64)
-        theta = omega * (k + 1.0) + 0.5 * domega * k * k
-        ramp = CF32(jnp.asarray(np.cos(theta), jnp.float32),
-                    jnp.asarray(np.sin(theta), jnp.float32))
-        from qpsk_tpu.ops.cplx import cmul, cnormalize
-        phasors = cmul(CF32(state.nco_phase.re[..., None],
-                            state.nco_phase.im[..., None]), ramp)
-        sig = cmul(sig, phasors)
-        phase = cnormalize(CF32(phasors.re[..., -1], phasors.im[..., -1]))
+        sig, phase = nco.mix_chirp(sig, state.nco_phase, omega, domega)
     else:
         sig, phase = nco.mix(sig, state.nco_phase, omega, cfg.nco_mode)
 
@@ -144,12 +138,16 @@ def rx_acquire_hz(cfg: ModemConfig, pcm: jnp.ndarray) -> jnp.ndarray:
     be hand-tuned to pull in offsets (README.md:12).
     """
     flat = pcm.reshape(pcm.shape[:-2] + (-1,)) if pcm.ndim >= 2 else pcm
-    n = min(flat.shape[-1], 4 * cfg.nfft)
-    n -= n % cfg.frame_size
+    block = _pick_block(cfg.frame_size)
+    n = min(flat.shape[-1], max(4 * cfg.nfft, block))
+    n -= n % block
+    if n == 0:
+        raise ValueError(
+            f"acquisition needs at least {block} samples, got "
+            f"{flat.shape[-1]}")
     xr = flat[..., :n].astype(jnp.float32) / jnp.float32(cfg.pcm_scale)
     x = CF32(xr, jnp.zeros_like(xr))
     x, _ = nco.mix(x, nco.nco_init(xr.shape[:-1]), -cfg.omega_center, "fast")
-    block = _pick_block(cfg.frame_size)
     tmat = jnp.asarray(_tmat_for(cfg, block))
     x, _ = rrc_ops.fir_block(
         x, rrc_ops.fir_init_tail(cfg.ntaps, xr.shape[:-1]), tmat,

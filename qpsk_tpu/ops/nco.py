@@ -63,3 +63,20 @@ def mix(x: CF32, phase: CF32, omega: float, mode: str = "fast"):
         y = CF32(jnp.moveaxis(yr, 0, -1), jnp.moveaxis(yi, 0, -1))
         return y, cnormalize(ph)
     raise ValueError(f"unknown nco mode {mode!r}")
+
+
+def mix_chirp(x: CF32, phase: CF32, omega: float, domega: float):
+    """Mix with a linearly-chirping carrier: the quadratic-phase closed
+    form ``theta_k = omega*(k+1) + 0.5*domega*k^2`` (Doppler-ramp
+    stimulus).  Same advance-before-multiply convention as ``mix``; the
+    carried phase is only exact within one call (the instantaneous
+    frequency at the block end is not folded back into ``omega``)."""
+    n = x.shape[-1]
+    k = np.arange(n, dtype=np.float64)
+    theta = omega * (k + 1.0) + 0.5 * domega * k * k
+    ramp = CF32(jnp.asarray(np.cos(theta), jnp.float32),
+                jnp.asarray(np.sin(theta), jnp.float32))
+    phasors = cmul(CF32(phase.re[..., None], phase.im[..., None]), ramp)
+    y = cmul(x, phasors)
+    new_phase = cnormalize(CF32(phasors.re[..., -1], phasors.im[..., -1]))
+    return y, new_phase

@@ -39,11 +39,25 @@ def golden_prime(nbits: int) -> int:
     return int(_PRIMES[index - 1])
 
 
+def _check_bijective(b: int, nbits: int) -> None:
+    """The map i -> (b*i) mod nbits is a bijection iff gcd(b, nbits) == 1.
+    The reference never checks (interleave.c silently destroys data when
+    the saturated table prime divides nbits, e.g. nbits = 2776 = 8*347);
+    we refuse such frame sizes instead."""
+    import math
+    if math.gcd(b, nbits) != 1:
+        raise ValueError(
+            f"golden prime {b} divides frame size {nbits} bits — the "
+            f"interleaver permutation would not be invertible; choose a "
+            f"frame size coprime with {b}")
+
+
 @functools.lru_cache(maxsize=None)
 def interleave_permutation(nbits: int) -> np.ndarray:
     """``perm`` such that ``out = in[perm]`` reproduces INTERLEAVE:
     out[(b*i) % nbits] = in[i]  ⇒  perm[(b*i) % nbits] = i."""
     b = golden_prime(nbits)
+    _check_bijective(b, nbits)
     i = np.arange(nbits, dtype=np.int64)
     j = (b * i) % nbits
     perm = np.zeros(nbits, dtype=np.int32)
@@ -55,6 +69,7 @@ def interleave_permutation(nbits: int) -> np.ndarray:
 def deinterleave_permutation(nbits: int) -> np.ndarray:
     """Inverse gather: out[i] = in[(b*i) % nbits] (interleave.c:61-65)."""
     b = golden_prime(nbits)
+    _check_bijective(b, nbits)
     i = np.arange(nbits, dtype=np.int64)
     return ((b * i) % nbits).astype(np.int32)
 

@@ -29,16 +29,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """Wire the multi-host runtime.  On TPU pods all arguments come from
-    the environment; pass them explicitly for CPU/GPU clusters.  No-op if
-    already initialized or single-process."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    if coordinator_address is None and num_processes in (None, 1):
+    """Wire the multi-host runtime.  Must be called before any JAX call
+    that initializes the XLA backend (even ``jax.devices()``) — that is a
+    jax.distributed requirement, so this function deliberately makes no
+    backend-touching probes itself.
+
+    On TPU pods all arguments come from the environment; pass them
+    explicitly for CPU/GPU clusters.  No-op when called twice, or when
+    called with no arguments outside any recognizable cluster environment
+    (single-process runs and tests stay zero-config).
+    """
+    import os
+
+    if getattr(initialize, "_done", False):
+        return
+    env_driven = bool(os.environ.get("JAX_COORDINATOR_ADDRESS")
+                      or os.environ.get("COORDINATOR_ADDRESS"))
+    if coordinator_address is None and num_processes is None and not env_driven:
         return  # single-process run: nothing to do
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
+    initialize._done = True
 
 
 def global_mesh(axis_names: tuple[str, ...],

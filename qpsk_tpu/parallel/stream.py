@@ -41,9 +41,9 @@ from jax import shard_map
 from qpsk_tpu.config import TAU, ModemConfig
 from qpsk_tpu.modem import _pick_block, _prec, _tmat_for
 from qpsk_tpu.ops import costas as costas_ops
-from qpsk_tpu.ops import acquire, modmap, timing as timing_ops
+from qpsk_tpu.ops import acquire, modmap, nco, timing as timing_ops
 from qpsk_tpu.ops import rrc as rrc_ops
-from qpsk_tpu.ops.cplx import CF32, cmul
+from qpsk_tpu.ops.cplx import CF32
 
 __all__ = ["rx_frontend_timeparallel", "rx_stream_timeparallel"]
 
@@ -70,13 +70,9 @@ def _mixdown_fir_local(cfg: ModemConfig, pcm_local: jnp.ndarray,
     L = pcm_local.shape[-1]
     xr = pcm_local.astype(jnp.float32) / jnp.float32(cfg.pcm_scale)
     # fast NCO ramp from this block's closed-form start phase
-    omega = -cfg.omega_center
-    steps = np.arange(1, L + 1, dtype=np.float64)
-    ramp = CF32(jnp.asarray(np.cos(omega * steps), jnp.float32),
-                jnp.asarray(np.sin(omega * steps), jnp.float32))
     ph0 = CF32(phase0[..., 0], phase0[..., 1])
-    phasors = cmul(CF32(ph0.re[..., None], ph0.im[..., None]), ramp)
-    x = CF32(xr * phasors.re, xr * phasors.im)
+    x, _ = nco.mix(CF32(xr, jnp.zeros_like(xr)), ph0,
+                   -cfg.omega_center, "fast")
 
     tail = CF32(x.re[..., L - (cfg.ntaps - 1):], x.im[..., L - (cfg.ntaps - 1):])
     halo = _halo_from_left(tail, axis)
@@ -138,9 +134,13 @@ def rx_stream_timeparallel(cfg: ModemConfig, pcm: jnp.ndarray, mesh: Mesh,
                       y.im.reshape(-1, cfg.frame_size))
         if cfg.timing_mode == "histogram":
             index = timing_ops.timing_histogram(frames, cfg.cycles)
+            p = timing_ops.decimate_select(frames, index, cfg.cycles)
+        elif cfg.timing_mode == "fractional":
+            tau = timing_ops.timing_fractional(frames, cfg.cycles)
+            p = timing_ops.decimate_fractional(frames, tau, cfg.cycles)
         else:
             index = timing_ops.timing_power(frames, cfg.cycles)
-        p = timing_ops.decimate_select(frames, index, cfg.cycles)
+            p = timing_ops.decimate_select(frames, index, cfg.cycles)
         picks = CF32(p.re.reshape(-1), p.im.reshape(-1))
 
         # block-local carrier re-acquisition → warm Costas

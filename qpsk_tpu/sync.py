@@ -68,8 +68,15 @@ def find_sync(pcfg: PacketConfig, bits: jnp.ndarray, max_lag: int = 512,
     dibits).  Returns the winning hypothesis; a score of 0 means no sync.
     """
     fb = pcfg.frame_bits
-    need = max_lag + probe_frames * fb
-    assert bits.ndim == 1 and bits.shape[0] >= need, (bits.shape, need)
+    assert bits.ndim == 1, bits.shape
+    # clamp the lag search to what the stream can support
+    avail = int(bits.shape[0]) - probe_frames * fb
+    if avail < 2:
+        raise ValueError(
+            f"find_sync needs at least {probe_frames * fb + 2} bits "
+            f"({probe_frames} probe frames of {fb} bits + a lag window), "
+            f"got {bits.shape[0]}")
+    max_lag = min(max_lag, avail)
     lags = jnp.arange(0, max_lag, 2, dtype=jnp.int32)          # (L,)
     window = jnp.arange(probe_frames * fb, dtype=jnp.int32)    # (W,)
     gathered = bits[lags[:, None] + window[None, :]]           # (L, W)
