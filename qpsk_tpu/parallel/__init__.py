@@ -13,5 +13,6 @@ axes that exist in a sample-stream modem:
   Costas re-acquisition.
 """
 
+from qpsk_tpu.parallel.blocks import rx_stream_blockparallel
 from qpsk_tpu.parallel.channels import make_channel_demod, shard_channel_state
 from qpsk_tpu.parallel.stream import rx_stream_timeparallel

@@ -1,0 +1,107 @@
+"""Block-parallel single-stream demodulation on one chip.
+
+The Costas recurrence caps a *single* stream at the serial scan rate
+(~0.6 Msym/s on v5e regardless of how idle the rest of the chip is).  This
+module breaks that cap the same way the multi-device time-parallel path
+does (parallel/stream.py), but *within* one device: the decimated symbol
+stream is split into B overlapping blocks that ride the batch axis —
+each block 4th-power-re-acquires carrier from its overlap head, runs its
+own Costas loop (one vmapped scan / Pallas launch), and discards the
+overlap warmup.  Block boundaries behave like burst starts: each block has
+an independent 90° ambiguity and a fresh transient, both absorbed by the
+CRC-tracked packet extraction (qpsk_tpu.sync.extract_packets_tracked).
+
+This is the "block-parallel reformulation of the per-sample feedback
+loop" (SURVEY.md §7 hard-part #1): exactness is traded at block seams for
+B-fold parallelism; the overlap length controls the trade.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qpsk_tpu.config import ModemConfig
+from qpsk_tpu.modem import _pick_block, _prec, _tmat_for
+from qpsk_tpu.ops import acquire, costas as costas_ops, modmap, nco
+from qpsk_tpu.ops import rrc as rrc_ops, timing as timing_ops
+from qpsk_tpu.ops.cplx import CF32
+
+__all__ = ["rx_stream_blockparallel"]
+
+
+def rx_stream_blockparallel(cfg: ModemConfig, pcm: jnp.ndarray,
+                            nblocks: int, overlap_sym: int = 64):
+    """Demodulate one (nframes, frame_size) PCM stream with the Costas
+    loop block-parallelized over ``nblocks``.
+
+    Returns (symbols CF32 (nsym,), bits (2*nsym,), freq_hz (nblocks,)).
+    The emitted symbols are *undelayed* (no one-frame decimation delay —
+    blocks decode independently, like bursts).  ``nsym`` must divide by
+    ``nblocks``; ``overlap_sym`` extra symbols are prepended to each block
+    (except the first) for acquisition + loop settling and dropped from
+    the output.
+    """
+    nframes, fsz = pcm.shape[-2], pcm.shape[-1]
+    assert pcm.ndim == 2, "single stream expected: (nframes, frame_size)"
+    n = nframes * fsz
+    nsf = cfg.symbols_per_frame
+
+    # --- serial-exact front-end (fully parallel ops, no recurrence) ---
+    flat = pcm.reshape(n).astype(jnp.float32) / jnp.float32(cfg.pcm_scale)
+    x = CF32(flat, jnp.zeros_like(flat))
+    x, _ = nco.mix(x, nco.nco_init(), -cfg.omega_center, "fast")
+    blk = _pick_block(fsz)
+    tmat = jnp.asarray(_tmat_for(cfg, blk))
+    x, _ = rrc_ops.fir_block(x, rrc_ops.fir_init_tail(cfg.ntaps), tmat,
+                             cfg.gain, blk, precision=_prec(cfg))
+    frames = CF32(x.re.reshape(nframes, fsz), x.im.reshape(nframes, fsz))
+    if cfg.timing_mode == "fractional":
+        tau = timing_ops.timing_fractional(frames, cfg.cycles)
+        picks = timing_ops.decimate_fractional(frames, tau, cfg.cycles)
+    else:
+        index = timing_ops.timing_power(frames, cfg.cycles)
+        picks = timing_ops.decimate_select(frames, index, cfg.cycles)
+    sym = CF32(picks.re.reshape(-1), picks.im.reshape(-1))  # (nsym,)
+    nsym = nframes * nsf
+    assert nsym % nblocks == 0, (nsym, nblocks)
+    L = nsym // nblocks
+    W = min(overlap_sym, L)
+
+    # --- overlapping block windows on the batch axis ---
+    # pad W zeros at the head so every block's window is [b*L - W, b*L + L)
+    # in stream coordinates; block 0 warms up on silence (a cold start).
+    pad = jnp.zeros((W,), jnp.float32)
+    pre = CF32(jnp.concatenate([pad, sym.re]), jnp.concatenate([pad, sym.im]))
+    win = (np.arange(nblocks, dtype=np.int64)[:, None] * L
+           + np.arange(L + W)[None, :])
+    widx = jnp.asarray(win)
+    zb = CF32(pre.re[widx], pre.im[widx])             # (B, L+W)
+
+    # --- per-block re-acquisition from the window head ---
+    nfft = min(256, L + W)
+    f_hz = acquire.acquire_freq_hz(
+        CF32(zb.re[:, :nfft], zb.im[:, :nfft]), cfg.rs, nfft=nfft)
+    freq0 = jnp.clip(acquire.hz_to_costas_freq(f_hz, cfg.rs),
+                     cfg.min_freq, cfg.max_freq)
+    cstate = costas_ops.CostasState(phase=freq0 * 0.0, freq=freq0)
+
+    params = costas_ops.costas_params(cfg.loop_bw, cfg.damping,
+                                      cfg.min_freq, cfg.max_freq)
+    use_pallas = cfg.costas_impl == "pallas" or (
+        cfg.costas_impl == "auto" and jax.default_backend() == "tpu"
+        and nblocks % 128 == 0)
+    if use_pallas:
+        from qpsk_tpu.ops.pallas import costas_kernel
+        cstate, derot = costas_kernel.costas_run_pallas(cstate, zb, params)
+    else:
+        cstate, derot = costas_ops.costas_run(cstate, zb, params, unroll=8)
+
+    # drop each block's W-symbol warmup: the remaining L outputs land
+    # exactly on stream symbols [b*L, (b+1)*L)
+    out = CF32(derot.re[:, W:].reshape(nsym),
+               derot.im[:, W:].reshape(nsym))
+    bits = (modmap.demod_bits(out) if cfg.slicer == "diagonal"
+            else modmap.demod_bits_reference(out))
+    return out, bits, costas_ops.freq_to_hz(cstate.freq, cfg.rs)
