@@ -72,12 +72,18 @@ def rx_stream_blockparallel(cfg: ModemConfig, pcm: jnp.ndarray,
     # --- overlapping block windows on the batch axis ---
     # pad W zeros at the head so every block's window is [b*L - W, b*L + L)
     # in stream coordinates; block 0 warms up on silence (a cold start).
+    # The windows are regular, so they are two aligned reshape views (the
+    # W-history slice and the block body) — no gather on the lane axis.
+    assert W <= L, (W, L)
     pad = jnp.zeros((W,), jnp.float32)
-    pre = CF32(jnp.concatenate([pad, sym.re]), jnp.concatenate([pad, sym.im]))
-    win = (np.arange(nblocks, dtype=np.int64)[:, None] * L
-           + np.arange(L + W)[None, :])
-    widx = jnp.asarray(win)
-    zb = CF32(pre.re[widx], pre.im[widx])             # (B, L+W)
+
+    def windows(plane):
+        pre = jnp.concatenate([pad, plane])           # (nsym + W,)
+        hist = pre[:nsym].reshape(nblocks, L)[:, :W]  # [b*L - W, b*L)
+        body = plane.reshape(nblocks, L)              # [b*L, b*L + L)
+        return jnp.concatenate([hist, body], axis=1)  # (B, W + L)
+
+    zb = CF32(windows(sym.re), windows(sym.im))
 
     # --- per-block re-acquisition from the window head ---
     nfft = min(256, L + W)

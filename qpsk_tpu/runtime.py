@@ -1,0 +1,182 @@
+"""Streaming runtime: push-mode demodulation with automatic sync.
+
+The batch API (``rx_stream`` + ``find_sync`` + ``extract_packets_tracked``)
+asks the caller to manage state, alignment, and packet framing.  This
+module wraps it all into the receiver object a deployment actually wants:
+
+    demod = StreamDemodulator(ModemConfig(), PacketConfig(payload_bytes=30))
+    for chunk in audio_source:          # int16 PCM, any chunk size
+        for pkt in demod.push(chunk):   # bit-exact payloads as they decode
+            handle(pkt.payload)
+
+Behavior:
+
+* arbitrary chunk sizes — samples are buffered to whole frames (the
+  native ring buffer in qpsk_tpu.io serves the real-time capture side);
+* FFT acquisition warm-starts the Costas loop on the first frames;
+* packet sync (rotation + alignment) happens automatically once enough
+  post-transient bits accumulate, and is CRC-tracked thereafter (cycle
+  slips cost one packet, not the stream);
+* ``flush()`` drains remaining whole packets; counters expose link metrics
+  (frames, packets, CRC failures, detected offset).
+
+The demodulator tolerates signal gaps: if CRC failures persist for
+``resync_after`` consecutive packets it drops sync and re-acquires — the
+"failure detection / re-arm" behavior the reference lacks (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from qpsk_tpu.config import ModemConfig
+from qpsk_tpu.modem import rx_acquire_hz, rx_stream
+from qpsk_tpu.ops.acquire import hz_to_costas_freq
+from qpsk_tpu.packet.frame import PacketConfig
+from qpsk_tpu.state import rx_init
+from qpsk_tpu.sync import (SyncResult, extract_packets_tracked, find_sync,
+                           rotate_dibits)
+from qpsk_tpu.packet.frame import disassemble_packet
+
+
+class Packet(NamedTuple):
+    payload: np.ndarray   # (8*payload_bytes,) bits
+    crc_ok: bool
+    stream_index: int     # packet index since sync
+
+
+@dataclasses.dataclass
+class LinkCounters:
+    frames: int = 0
+    packets: int = 0
+    crc_failures: int = 0
+    resyncs: int = 0
+    detected_offset_hz: float = 0.0
+    synced: bool = False
+
+
+class StreamDemodulator:
+    """Push-mode QPSK packet receiver (see module docstring)."""
+
+    def __init__(self, cfg: ModemConfig, pcfg: PacketConfig,
+                 sync_skip_frames: int = 8, probe_frames: int = 4,
+                 resync_after: int = 8):
+        self.cfg = cfg
+        self.pcfg = pcfg
+        self.sync_skip = sync_skip_frames * pcfg.frame_bits
+        self.probe_frames = probe_frames
+        self.resync_after = resync_after
+        self.counters = LinkCounters()
+
+        self._pcm_buf = np.zeros(0, np.int16)
+        self._bit_buf = np.zeros(0, np.int32)
+        self._state = None
+        self._sync: SyncResult | None = None
+        self._rotation = 0
+        self._consecutive_bad = 0
+        self._pkt_index = 0
+
+    # ------------------------------------------------------------------
+    def push(self, pcm: np.ndarray) -> Iterator[Packet]:
+        """Feed int16 PCM of any length; yields packets as they decode."""
+        pcm = np.asarray(pcm, np.int16).ravel()
+        self._pcm_buf = np.concatenate([self._pcm_buf, pcm])
+        fsz = self.cfg.frame_size
+        nframes = self._pcm_buf.size // fsz
+        if nframes == 0:
+            return
+        chunk = self._pcm_buf[:nframes * fsz].reshape(nframes, fsz)
+        self._pcm_buf = self._pcm_buf[nframes * fsz:]
+
+        if self._state is None:
+            # acquisition on the very first frames
+            try:
+                est = rx_acquire_hz(self.cfg, jnp.asarray(chunk))
+                acq = hz_to_costas_freq(est, self.cfg.rs)
+            except ValueError:
+                acq = 0.0
+            self._state = rx_init(self.cfg, acq_freq=acq)
+
+        self._state, out = rx_stream(self.cfg, self._state,
+                                     jnp.asarray(chunk))
+        self.counters.frames += nframes
+        self.counters.detected_offset_hz = float(np.mean(
+            np.asarray(out.freq_hz)[-min(10, nframes):]))
+        self._bit_buf = np.concatenate(
+            [self._bit_buf, np.asarray(out.bits).ravel()])
+        yield from self._drain()
+
+    # ------------------------------------------------------------------
+    def _try_sync(self) -> bool:
+        fb = self.pcfg.frame_bits
+        window = 600
+        while True:
+            need = self.sync_skip + self.probe_frames * fb + 64
+            if self._bit_buf.size < need:
+                return False
+            stream = jnp.asarray(self._bit_buf[self.sync_skip:])
+            sync = find_sync(self.pcfg, stream, max_lag=window,
+                             probe_frames=self.probe_frames)
+            if int(sync.score) >= max(2, self.probe_frames - 1):
+                # consume everything before the first aligned packet
+                self._bit_buf = self._bit_buf[self.sync_skip
+                                              + int(sync.bit_lag):]
+                self._sync = sync
+                self._rotation = int(sync.rotation)
+                self.counters.synced = True
+                self.sync_skip = 0   # future resyncs hunt from the buffer head
+                return True
+            # no sync in [sync_skip, sync_skip + window): those bits are
+            # dead — slide the hunt forward if there's more stream to try
+            if self._bit_buf.size - self.sync_skip > need + window:
+                self.sync_skip += window
+                continue
+            return False
+
+    def _drain(self) -> Iterator[Packet]:
+        fb = self.pcfg.frame_bits
+        if self._sync is None and not self._try_sync():
+            return
+        while self._bit_buf.size >= fb:
+            frame = jnp.asarray(self._bit_buf[:fb])
+            self._bit_buf = self._bit_buf[fb:]
+            # try the tracked rotation first, then the other three
+            pkt = None
+            for r in (self._rotation, *(r for r in range(4)
+                                        if r != self._rotation)):
+                rx = disassemble_packet(
+                    self.pcfg, rotate_dibits(frame, r))
+                if bool(rx.crc_ok):
+                    self._rotation = r
+                    pkt = Packet(np.asarray(rx.payload_bits), True,
+                                 self._pkt_index)
+                    break
+            if pkt is None:
+                rx = disassemble_packet(
+                    self.pcfg, rotate_dibits(frame, self._rotation))
+                pkt = Packet(np.asarray(rx.payload_bits), False,
+                             self._pkt_index)
+                self.counters.crc_failures += 1
+                self._consecutive_bad += 1
+            else:
+                self._consecutive_bad = 0
+            self._pkt_index += 1
+            self.counters.packets += 1
+            yield pkt
+            if self._consecutive_bad >= self.resync_after:
+                # lost the channel: drop sync and re-arm (SURVEY.md §5)
+                self._sync = None
+                self.counters.synced = False
+                self.counters.resyncs += 1
+                self._consecutive_bad = 0
+                self.sync_skip = 0  # bits already past the transient
+                if self._sync is None and not self._try_sync():
+                    return
+
+    def flush(self) -> Iterator[Packet]:
+        """Decode whatever whole packets remain buffered."""
+        yield from self._drain()

@@ -1,0 +1,79 @@
+"""Streaming runtime (push-mode demodulator) tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qpsk_tpu import ModemConfig, tx_init
+from qpsk_tpu.channel import awgn_pcm
+from qpsk_tpu.modem import tx_stream
+from qpsk_tpu.packet import PacketConfig, assemble_packet
+from qpsk_tpu.runtime import StreamDemodulator
+
+CFG = ModemConfig()
+PCFG = PacketConfig(payload_bytes=30)
+
+
+def _tx(nframes, seed=0, snr=None, offset=50.0):
+    rng = np.random.default_rng(seed)
+    payload = rng.integers(0, 2, (nframes, 240), dtype=np.int32)
+    _, pcm = tx_stream(CFG, tx_init(CFG), assemble_packet(PCFG, jnp.asarray(payload)),
+                       tx_offset_hz=offset)
+    if snr is not None:
+        sp = float(jnp.mean((pcm.astype(jnp.float32) / 16384.0) ** 2))
+        pcm = awgn_pcm(jax.random.key(seed), pcm, snr_db=snr, signal_power=sp)
+    return payload, np.asarray(pcm).ravel()
+
+
+def _payload_set(payload):
+    return {p.tobytes() for p in payload.astype(np.uint8)}
+
+
+def test_stream_demodulator_odd_chunks():
+    """Push in awkward chunk sizes; packets come out bit-exact."""
+    payload, pcm = _tx(60)
+    demod = StreamDemodulator(CFG, PCFG)
+    got = []
+    pos = 0
+    rng = np.random.default_rng(1)
+    while pos < pcm.size:
+        n = int(rng.integers(100, 3000))
+        got.extend(demod.push(pcm[pos:pos + n]))
+        pos += n
+    got.extend(demod.flush())
+    ok = [p for p in got if p.crc_ok]
+    assert len(ok) >= 45, len(ok)
+    wanted = _payload_set(payload)
+    assert all(p.payload.astype(np.uint8).tobytes() in wanted for p in ok)
+    assert demod.counters.synced
+    assert abs(demod.counters.detected_offset_hz - 50.0) < 5.0
+
+
+def test_stream_demodulator_noisy():
+    payload, pcm = _tx(80, seed=2, snr=10.0)
+    demod = StreamDemodulator(CFG, PCFG)
+    got = list(demod.push(pcm)) + list(demod.flush())
+    ok = [p for p in got if p.crc_ok]
+    assert len(ok) >= 55, len(ok)
+    wanted = _payload_set(payload)
+    assert all(p.payload.astype(np.uint8).tobytes() in wanted for p in ok)
+
+
+def test_stream_demodulator_resync_after_gap():
+    """A silence gap kills CRC; the demodulator drops sync, re-arms, and
+    decodes the second burst."""
+    p1, pcm1 = _tx(40, seed=3)
+    p2, pcm2 = _tx(40, seed=4)
+    gap = np.zeros(4096, np.int16)
+    stream = np.concatenate([pcm1, gap, pcm2])
+    demod = StreamDemodulator(CFG, PCFG, resync_after=4)
+    got = list(demod.push(stream)) + list(demod.flush())
+    ok = [p for p in got if p.crc_ok]
+    wanted = _payload_set(p1) | _payload_set(p2)
+    assert all(p.payload.astype(np.uint8).tobytes() in wanted for p in ok)
+    from_first = sum(p.payload.astype(np.uint8).tobytes() in _payload_set(p1)
+                     for p in ok)
+    from_second = len(ok) - from_first
+    assert from_first >= 25, from_first
+    assert from_second >= 20, from_second
+    assert demod.counters.resyncs >= 1
