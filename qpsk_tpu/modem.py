@@ -177,16 +177,8 @@ def rx_frame(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     x, fir_tail = rrc_ops.fir_block(x, state.fir_tail, tmat, cfg.gain, block,
                                     precision=_prec(cfg))
 
-    if cfg.timing_mode == "histogram":
-        index = timing_ops.timing_histogram(x, cfg.cycles)
-        picks = timing_ops.decimate_select(x, index, cfg.cycles)
-    elif cfg.timing_mode == "fractional":
-        tau = timing_ops.timing_fractional(x, cfg.cycles)
-        picks = timing_ops.decimate_fractional(x, tau, cfg.cycles)
-        index = jnp.round(tau).astype(jnp.int32)
-    else:
-        index = timing_ops.timing_power(x, cfg.cycles)
-        picks = timing_ops.decimate_select(x, index, cfg.cycles)
+    picks, index = timing_ops.estimate_and_decimate(x, cfg.cycles,
+                                                    cfg.timing_mode)
     # one-frame delay line (qpsk.c:182-191): emit the previous frame's picks
     symbols, decim_delay = state.decim_delay, picks
 
@@ -259,16 +251,8 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
 
     frames = CF32(x.re.reshape(batch + (nframes, fsz)),
                   x.im.reshape(batch + (nframes, fsz)))
-    if cfg.timing_mode == "histogram":
-        index = timing_ops.timing_histogram(frames, cfg.cycles)
-        picks = timing_ops.decimate_select(frames, index, cfg.cycles)
-    elif cfg.timing_mode == "fractional":
-        tau = timing_ops.timing_fractional(frames, cfg.cycles)
-        picks = timing_ops.decimate_fractional(frames, tau, cfg.cycles)
-        index = jnp.round(tau).astype(jnp.int32)
-    else:
-        index = timing_ops.timing_power(frames, cfg.cycles)
-        picks = timing_ops.decimate_select(frames, index, cfg.cycles)
+    picks, index = timing_ops.estimate_and_decimate(frames, cfg.cycles,
+                                                    cfg.timing_mode)
 
     # per-frame decimation picks feed the one-frame delay in batch:
     # outputs for frame f are the picks of frame f-1 (qpsk.c:186-191)

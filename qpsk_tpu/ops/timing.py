@@ -97,6 +97,29 @@ def timing_fractional(frame: CF32, cycles: int) -> jnp.ndarray:
     return jnp.mod(tau, float(cycles))
 
 
+def estimate_and_decimate(frames: CF32, cycles: int, mode: str):
+    """Dispatch the configured timing estimator + matching decimation over
+    (..., nframes, frame_size) filtered samples.  The single place the
+    mode switch lives — every RX path (fused, per-frame, time-parallel,
+    block-parallel) calls this so the modes can't silently diverge.
+
+    Returns (picks (..., nframes, nsym), index (..., nframes) int32).
+    """
+    if mode == "histogram":
+        index = timing_histogram(frames, cycles)
+        picks = decimate_select(frames, index, cycles)
+    elif mode == "fractional":
+        tau = timing_fractional(frames, cycles)
+        picks = decimate_fractional(frames, tau, cycles)
+        index = jnp.round(tau).astype(jnp.int32)
+    elif mode == "power":
+        index = timing_power(frames, cycles)
+        picks = decimate_select(frames, index, cycles)
+    else:
+        raise ValueError(f"unknown timing mode {mode!r}")
+    return picks, index
+
+
 def decimate_fractional(frame: CF32, tau: jnp.ndarray, cycles: int) -> CF32:
     """Interpolating decimation at a *fractional* timing phase.
 

@@ -43,10 +43,17 @@ def rx_stream_blockparallel(cfg: ModemConfig, pcm: jnp.ndarray,
     (except the first) for acquisition + loop settling and dropped from
     the output.
     """
+    if pcm.ndim != 2:
+        raise ValueError(
+            f"single stream expected: (nframes, frame_size), got {pcm.shape}")
     nframes, fsz = pcm.shape[-2], pcm.shape[-1]
-    assert pcm.ndim == 2, "single stream expected: (nframes, frame_size)"
     n = nframes * fsz
     nsf = cfg.symbols_per_frame
+    nsym = nframes * nsf
+    if nsym % nblocks != 0:
+        raise ValueError(f"nblocks={nblocks} must divide {nsym} symbols")
+    L = nsym // nblocks
+    W = min(overlap_sym, L)
 
     # --- serial-exact front-end (fully parallel ops, no recurrence) ---
     flat = pcm.reshape(n).astype(jnp.float32) / jnp.float32(cfg.pcm_scale)
@@ -57,17 +64,9 @@ def rx_stream_blockparallel(cfg: ModemConfig, pcm: jnp.ndarray,
     x, _ = rrc_ops.fir_block(x, rrc_ops.fir_init_tail(cfg.ntaps), tmat,
                              cfg.gain, blk, precision=_prec(cfg))
     frames = CF32(x.re.reshape(nframes, fsz), x.im.reshape(nframes, fsz))
-    if cfg.timing_mode == "fractional":
-        tau = timing_ops.timing_fractional(frames, cfg.cycles)
-        picks = timing_ops.decimate_fractional(frames, tau, cfg.cycles)
-    else:
-        index = timing_ops.timing_power(frames, cfg.cycles)
-        picks = timing_ops.decimate_select(frames, index, cfg.cycles)
+    picks, _ = timing_ops.estimate_and_decimate(frames, cfg.cycles,
+                                                cfg.timing_mode)
     sym = CF32(picks.re.reshape(-1), picks.im.reshape(-1))  # (nsym,)
-    nsym = nframes * nsf
-    assert nsym % nblocks == 0, (nsym, nblocks)
-    L = nsym // nblocks
-    W = min(overlap_sym, L)
 
     # --- overlapping block windows on the batch axis ---
     # pad W zeros at the head so every block's window is [b*L - W, b*L + L)
@@ -85,10 +84,14 @@ def rx_stream_blockparallel(cfg: ModemConfig, pcm: jnp.ndarray,
 
     zb = CF32(windows(sym.re), windows(sym.im))
 
-    # --- per-block re-acquisition from the window head ---
-    nfft = min(256, L + W)
-    f_hz = acquire.acquire_freq_hz(
-        CF32(zb.re[:, :nfft], zb.im[:, :nfft]), cfg.rs, nfft=nfft)
+    # --- per-block re-acquisition on PRE-decimation samples at fs ---
+    # (4th power at the symbol rate would alias beyond |f| = rs/8; at fs
+    # the unambiguous range is fs/8, matching the serial acquisition path)
+    spb = L * cfg.cycles
+    nfft = min(cfg.nfft, spb)
+    heads = CF32(x.re.reshape(nblocks, spb)[:, :nfft],
+                 x.im.reshape(nblocks, spb)[:, :nfft])
+    f_hz = acquire.acquire_freq_hz(heads, cfg.fs, nfft=nfft)
     freq0 = jnp.clip(acquire.hz_to_costas_freq(f_hz, cfg.rs),
                      cfg.min_freq, cfg.max_freq)
     cstate = costas_ops.CostasState(phase=freq0 * 0.0, freq=freq0)

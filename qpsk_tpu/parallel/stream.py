@@ -132,15 +132,8 @@ def rx_stream_timeparallel(cfg: ModemConfig, pcm: jnp.ndarray, mesh: Mesh,
         # per-frame timing, one index per frame, local to the block
         frames = CF32(y.re.reshape(-1, cfg.frame_size),
                       y.im.reshape(-1, cfg.frame_size))
-        if cfg.timing_mode == "histogram":
-            index = timing_ops.timing_histogram(frames, cfg.cycles)
-            p = timing_ops.decimate_select(frames, index, cfg.cycles)
-        elif cfg.timing_mode == "fractional":
-            tau = timing_ops.timing_fractional(frames, cfg.cycles)
-            p = timing_ops.decimate_fractional(frames, tau, cfg.cycles)
-        else:
-            index = timing_ops.timing_power(frames, cfg.cycles)
-            p = timing_ops.decimate_select(frames, index, cfg.cycles)
+        p, _ = timing_ops.estimate_and_decimate(frames, cfg.cycles,
+                                                cfg.timing_mode)
         picks = CF32(p.re.reshape(-1), p.im.reshape(-1))
 
         # block-local carrier re-acquisition → warm Costas

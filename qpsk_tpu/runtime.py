@@ -13,22 +13,26 @@ Behavior:
 
 * arbitrary chunk sizes — samples are buffered to whole frames (the
   native ring buffer in qpsk_tpu.io serves the real-time capture side);
-* FFT acquisition warm-starts the Costas loop on the first frames;
+  ``push`` is eager (buffers and demodulates even if the returned packet
+  list is discarded);
+* FFT acquisition warm-starts the Costas loop on the first frames (when
+  ``cfg.acquisition == "fft"``; parity mode cold-starts like the C loop);
 * packet sync (rotation + alignment) happens automatically once enough
-  post-transient bits accumulate, and is CRC-tracked thereafter (cycle
-  slips cost one packet, not the stream);
+  post-transient bits accumulate — a sliding hunt across the bit stream —
+  and is CRC-tracked thereafter (cycle slips cost one packet, not the
+  stream); each drained span disassembles all four rotation hypotheses in
+  ONE batched device pass;
 * ``flush()`` drains remaining whole packets; counters expose link metrics
-  (frames, packets, CRC failures, detected offset).
-
-The demodulator tolerates signal gaps: if CRC failures persist for
-``resync_after`` consecutive packets it drops sync and re-acquires — the
-"failure detection / re-arm" behavior the reference lacks (SURVEY.md §5).
+  (frames, packets, CRC failures, detected offset);
+* signal gaps: if CRC failures persist for ``resync_after`` consecutive
+  packets the receiver drops sync and re-acquires — the failure-detect/
+  re-arm behavior the reference lacks (SURVEY.md §5).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, NamedTuple
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -36,17 +40,15 @@ import numpy as np
 from qpsk_tpu.config import ModemConfig
 from qpsk_tpu.modem import rx_acquire_hz, rx_stream
 from qpsk_tpu.ops.acquire import hz_to_costas_freq
-from qpsk_tpu.packet.frame import PacketConfig
+from qpsk_tpu.packet.frame import PacketConfig, disassemble_packet
 from qpsk_tpu.state import rx_init
-from qpsk_tpu.sync import (SyncResult, extract_packets_tracked, find_sync,
-                           rotate_dibits)
-from qpsk_tpu.packet.frame import disassemble_packet
+from qpsk_tpu.sync import SyncResult, find_sync, rotate_dibits
 
 
 class Packet(NamedTuple):
     payload: np.ndarray   # (8*payload_bytes,) bits
     crc_ok: bool
-    stream_index: int     # packet index since sync
+    stream_index: int     # packet index within the current sync epoch
 
 
 @dataclasses.dataclass
@@ -81,24 +83,27 @@ class StreamDemodulator:
         self._pkt_index = 0
 
     # ------------------------------------------------------------------
-    def push(self, pcm: np.ndarray) -> Iterator[Packet]:
-        """Feed int16 PCM of any length; yields packets as they decode."""
+    def push(self, pcm: np.ndarray) -> list[Packet]:
+        """Feed int16 PCM of any length; returns packets decoded so far.
+        Eager: buffering and demodulation happen even if the returned list
+        is ignored."""
         pcm = np.asarray(pcm, np.int16).ravel()
         self._pcm_buf = np.concatenate([self._pcm_buf, pcm])
         fsz = self.cfg.frame_size
         nframes = self._pcm_buf.size // fsz
         if nframes == 0:
-            return
+            return []
         chunk = self._pcm_buf[:nframes * fsz].reshape(nframes, fsz)
         self._pcm_buf = self._pcm_buf[nframes * fsz:]
 
         if self._state is None:
-            # acquisition on the very first frames
-            try:
-                est = rx_acquire_hz(self.cfg, jnp.asarray(chunk))
-                acq = hz_to_costas_freq(est, self.cfg.rs)
-            except ValueError:
-                acq = 0.0
+            acq = 0.0
+            if self.cfg.acquisition == "fft":
+                try:
+                    est = rx_acquire_hz(self.cfg, jnp.asarray(chunk))
+                    acq = hz_to_costas_freq(est, self.cfg.rs)
+                except ValueError:
+                    pass  # chunk too short: cold-start, acquire later
             self._state = rx_init(self.cfg, acq_freq=acq)
 
         self._state, out = rx_stream(self.cfg, self._state,
@@ -108,15 +113,15 @@ class StreamDemodulator:
             np.asarray(out.freq_hz)[-min(10, nframes):]))
         self._bit_buf = np.concatenate(
             [self._bit_buf, np.asarray(out.bits).ravel()])
-        yield from self._drain()
+        return self._drain()
 
     # ------------------------------------------------------------------
     def _try_sync(self) -> bool:
         fb = self.pcfg.frame_bits
         window = 600
+        probe_bits = self.probe_frames * fb + 64
         while True:
-            need = self.sync_skip + self.probe_frames * fb + 64
-            if self._bit_buf.size < need:
+            if self._bit_buf.size - self.sync_skip < probe_bits:
                 return False
             stream = jnp.asarray(self._bit_buf[self.sync_skip:])
             sync = find_sync(self.pcfg, stream, max_lag=window,
@@ -128,55 +133,67 @@ class StreamDemodulator:
                 self._sync = sync
                 self._rotation = int(sync.rotation)
                 self.counters.synced = True
-                self.sync_skip = 0   # future resyncs hunt from the buffer head
+                self.sync_skip = 0  # future resyncs hunt from the head
+                self._pkt_index = 0  # stream_index restarts per sync epoch
                 return True
             # no sync in [sync_skip, sync_skip + window): those bits are
-            # dead — slide the hunt forward if there's more stream to try
-            if self._bit_buf.size - self.sync_skip > need + window:
-                self.sync_skip += window
+            # dead — slide the hunt forward if more stream remains, and
+            # trim the dead prefix so the buffer stays bounded
+            if self._bit_buf.size - self.sync_skip > probe_bits + window:
+                self._bit_buf = self._bit_buf[self.sync_skip + window:]
+                self.sync_skip = 0
                 continue
             return False
 
-    def _drain(self) -> Iterator[Packet]:
+    def _drain(self) -> list[Packet]:
         fb = self.pcfg.frame_bits
-        if self._sync is None and not self._try_sync():
-            return
-        while self._bit_buf.size >= fb:
-            frame = jnp.asarray(self._bit_buf[:fb])
-            self._bit_buf = self._bit_buf[fb:]
-            # try the tracked rotation first, then the other three
-            pkt = None
-            for r in (self._rotation, *(r for r in range(4)
-                                        if r != self._rotation)):
-                rx = disassemble_packet(
-                    self.pcfg, rotate_dibits(frame, r))
-                if bool(rx.crc_ok):
+        out: list[Packet] = []
+        while True:
+            if self._sync is None and not self._try_sync():
+                return out
+            nf = self._bit_buf.size // fb
+            if nf == 0:
+                return out
+            frames = jnp.asarray(
+                self._bit_buf[:nf * fb]).reshape(nf, fb)
+            self._bit_buf = self._bit_buf[nf * fb:]
+            # one batched pass over all frames x all 4 rotations
+            cand = jnp.stack([rotate_dibits(frames, r) for r in range(4)])
+            rx = disassemble_packet(self.pcfg, cand)
+            ok = np.asarray(rx.crc_ok)               # (4, nf)
+            payloads = np.asarray(rx.payload_bits)   # (4, nf, bits)
+            resync = False
+            for j in range(nf):
+                passing = np.flatnonzero(ok[:, j])
+                if passing.size:
+                    r = (self._rotation if ok[self._rotation, j]
+                         else int(passing[0]))
                     self._rotation = r
-                    pkt = Packet(np.asarray(rx.payload_bits), True,
-                                 self._pkt_index)
+                    self._consecutive_bad = 0
+                    good = True
+                else:
+                    r = self._rotation
+                    self.counters.crc_failures += 1
+                    self._consecutive_bad += 1
+                    good = False
+                out.append(Packet(payloads[r, j], good, self._pkt_index))
+                self._pkt_index += 1
+                self.counters.packets += 1
+                if self._consecutive_bad >= self.resync_after:
+                    # lost the channel: drop sync and re-arm (SURVEY.md §5)
+                    self._sync = None
+                    self.counters.synced = False
+                    self.counters.resyncs += 1
+                    self._consecutive_bad = 0
+                    # return unconsumed frames to the buffer and re-hunt
+                    rest = np.asarray(frames[j + 1:]).reshape(-1)
+                    self._bit_buf = np.concatenate(
+                        [rest.astype(np.int32), self._bit_buf])
+                    resync = True
                     break
-            if pkt is None:
-                rx = disassemble_packet(
-                    self.pcfg, rotate_dibits(frame, self._rotation))
-                pkt = Packet(np.asarray(rx.payload_bits), False,
-                             self._pkt_index)
-                self.counters.crc_failures += 1
-                self._consecutive_bad += 1
-            else:
-                self._consecutive_bad = 0
-            self._pkt_index += 1
-            self.counters.packets += 1
-            yield pkt
-            if self._consecutive_bad >= self.resync_after:
-                # lost the channel: drop sync and re-arm (SURVEY.md §5)
-                self._sync = None
-                self.counters.synced = False
-                self.counters.resyncs += 1
-                self._consecutive_bad = 0
-                self.sync_skip = 0  # bits already past the transient
-                if self._sync is None and not self._try_sync():
-                    return
+            if not resync:
+                return out
 
-    def flush(self) -> Iterator[Packet]:
+    def flush(self) -> list[Packet]:
         """Decode whatever whole packets remain buffered."""
-        yield from self._drain()
+        return self._drain()
