@@ -46,6 +46,9 @@ class ModemConfig:
     # Oerder&Meyr-style squared-envelope integer-phase estimator (default);
     # "fractional" adds cubic-interpolating decimation at the O&M fractional
     # estimate (robust to off-grid symbol clocks).
+    # "tracking" closes a second-order timing loop over the per-frame O&M
+    # fractional estimates (frame-rate timing PLL): robust to sample-clock
+    # *rate* offsets, which every feedforward per-frame estimator is not.
     timing_mode: str = "power"
     # nco: "fast" uses closed-form phasor ramps (embarrassingly parallel);
     # "exact" replicates the C sequential phase product (qpsk.c:115) in a scan
@@ -59,6 +62,11 @@ class ModemConfig:
     # carrier acquisition: "none" = cold-start Costas like the reference;
     # "fft" = 4th-power FFT coarse estimate seeding the Costas loop.
     acquisition: str = "fft"
+    # differential: encode dibits as phase *changes* (DQPSK,
+    # ops/differential.py) — constellation-rotation-immune decode, no CRC
+    # rotation search needed, a Costas cycle slip costs one symbol instead
+    # of the rest of the stream.  Default off (reference parity: absolute).
+    differential: bool = False
     # costas_impl: "auto" picks the fused Pallas kernel on TPU when the
     # batch shape allows (channels % 128 == 0), else the lax.scan lowering;
     # "scan" / "pallas" force one.  Both are bit-identical.
@@ -83,7 +91,8 @@ class ModemConfig:
                 "symbol groups")
         if self.ntaps % 2 != 1:
             raise ValueError("ntaps must be odd")
-        if self.timing_mode not in ("histogram", "power", "fractional"):
+        if self.timing_mode not in ("histogram", "power", "fractional",
+                                    "tracking"):
             raise ValueError(f"unknown timing_mode {self.timing_mode!r}")
         if self.nco_mode not in ("fast", "exact"):
             raise ValueError(f"unknown nco_mode {self.nco_mode!r}")

@@ -26,7 +26,7 @@ import numpy as np
 
 from qpsk_tpu.config import TAU, ModemConfig
 from qpsk_tpu.ops import costas as costas_ops
-from qpsk_tpu.ops import modmap, nco
+from qpsk_tpu.ops import differential, modmap, nco
 from qpsk_tpu.ops import rrc as rrc_ops
 from qpsk_tpu.ops import timing as timing_ops
 from qpsk_tpu.ops.cplx import CF32
@@ -80,12 +80,17 @@ def tx_frame(cfg: ModemConfig, state: TxState, symbols: CF32,
     sig, phase = nco.mix(sig, state.nco_phase, omega, cfg.nco_mode)
     # (int16)(Re * 16384.0f): C float->int conversion truncates toward zero.
     pcm = (sig.re * jnp.float32(cfg.pcm_scale)).astype(jnp.int16)
-    return TxState(fir_tail=fir_tail, nco_phase=phase), pcm
+    return state._replace(fir_tail=fir_tail, nco_phase=phase), pcm
 
 
 def tx_bits_frame(cfg: ModemConfig, state: TxState, bits: jnp.ndarray,
                   tx_offset_hz: float = 0.0):
-    """Bits -> PCM, with the reference dibit packing (qpsk.c:273-285)."""
+    """Bits -> PCM, with the reference dibit packing (qpsk.c:273-285).
+    In differential mode the dibits are phase *changes* (ops/differential)."""
+    if cfg.differential:
+        sym, diff_phase = differential.diff_encode_bits(bits, state.diff_phase)
+        state, pcm = tx_frame(cfg, state, sym, tx_offset_hz)
+        return state._replace(diff_phase=diff_phase), pcm
     return tx_frame(cfg, state, modmap.bits_to_symbols(bits), tx_offset_hz)
 
 
@@ -103,10 +108,15 @@ def tx_stream(cfg: ModemConfig, state: TxState, bits: jnp.ndarray,
     """
     batch = bits.shape[:-2]
     nframes = bits.shape[-2]
-    sym = modmap.bits_to_symbols(bits)              # (..., F, nsym)
-    nsym = sym.shape[-1]
-    flat = CF32(sym.re.reshape(batch + (nframes * nsym,)),
-                sym.im.reshape(batch + (nframes * nsym,)))
+    nsym = bits.shape[-1] // 2
+    diff_phase = state.diff_phase
+    if cfg.differential:
+        flat, diff_phase = differential.diff_encode_bits(
+            bits.reshape(batch + (nframes * bits.shape[-1],)), diff_phase)
+    else:
+        sym = modmap.bits_to_symbols(bits)          # (..., F, nsym)
+        flat = CF32(sym.re.reshape(batch + (nframes * nsym,)),
+                    sym.im.reshape(batch + (nframes * nsym,)))
     sig = modmap.upsample_zero_stuff(flat, cfg.cycles)
     n = sig.shape[-1]
     # block from the per-frame sample count (NOT cfg.frame_size): callers
@@ -125,7 +135,8 @@ def tx_stream(cfg: ModemConfig, state: TxState, bits: jnp.ndarray,
 
     pcm = (sig.re * jnp.float32(cfg.pcm_scale)).astype(jnp.int16)
     pcm = pcm.reshape(batch + (nframes, nsym * cfg.cycles))
-    return TxState(fir_tail=fir_tail, nco_phase=phase), pcm
+    return state._replace(fir_tail=fir_tail, nco_phase=phase,
+                          diff_phase=diff_phase), pcm
 
 
 def rx_acquire_hz(cfg: ModemConfig, pcm: jnp.ndarray) -> jnp.ndarray:
@@ -177,23 +188,35 @@ def rx_frame(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     x, fir_tail = rrc_ops.fir_block(x, state.fir_tail, tmat, cfg.gain, block,
                                     precision=_prec(cfg))
 
-    picks, index = timing_ops.estimate_and_decimate(x, cfg.cycles,
-                                                    cfg.timing_mode)
+    timing_state = state.timing
+    if cfg.timing_mode == "tracking":
+        meas = timing_ops.timing_fractional(x, cfg.cycles)
+        tau, timing_state = timing_ops.timing_track_step(
+            timing_state, meas, cfg.cycles)
+        picks = timing_ops.decimate_fractional(x, tau, cfg.cycles)
+        index = jnp.round(tau).astype(jnp.int32)
+    else:
+        picks, index = timing_ops.estimate_and_decimate(x, cfg.cycles,
+                                                        cfg.timing_mode)
     # one-frame delay line (qpsk.c:182-191): emit the previous frame's picks
     symbols, decim_delay = state.decim_delay, picks
 
     params = costas_ops.costas_params(cfg.loop_bw, cfg.damping,
                                       cfg.min_freq, cfg.max_freq)
     cstate, derot = costas_ops.costas_run(state.costas, symbols, params)
-    if cfg.slicer == "diagonal":
+    diff_prev = state.diff_prev
+    if cfg.differential:
+        bits, diff_prev = differential.diff_decode_symbols(derot, diff_prev)
+    elif cfg.slicer == "diagonal":
         bits = modmap.demod_bits(derot)
     else:
         bits = modmap.demod_bits_reference(derot)
     out = RxOut(symbols=derot, bits=bits,
                 freq_hz=costas_ops.freq_to_hz(cstate.freq, cfg.rs),
                 timing_index=index)
-    new_state = RxState(fir_tail=fir_tail, nco_phase=nco_phase,
-                        costas=cstate, decim_delay=decim_delay)
+    new_state = state._replace(fir_tail=fir_tail, nco_phase=nco_phase,
+                               costas=cstate, decim_delay=decim_delay,
+                               diff_prev=diff_prev, timing=timing_state)
     return new_state, out
 
 
@@ -251,8 +274,15 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
 
     frames = CF32(x.re.reshape(batch + (nframes, fsz)),
                   x.im.reshape(batch + (nframes, fsz)))
-    picks, index = timing_ops.estimate_and_decimate(frames, cfg.cycles,
-                                                    cfg.timing_mode)
+    timing_state = state.timing
+    if cfg.timing_mode == "tracking":
+        tau, timing_state = timing_ops.timing_track(frames, cfg.cycles,
+                                                    timing_state)
+        picks = timing_ops.decimate_fractional(frames, tau, cfg.cycles)
+        index = jnp.round(tau).astype(jnp.int32)
+    else:
+        picks, index = timing_ops.estimate_and_decimate(frames, cfg.cycles,
+                                                        cfg.timing_mode)
 
     # per-frame decimation picks feed the one-frame delay in batch:
     # outputs for frame f are the picks of frame f-1 (qpsk.c:186-191)
@@ -278,7 +308,10 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     else:
         cstate, derot, freq_trace = costas_ops.costas_run_traced(
             state.costas, symbols, params, unroll=8)
-    if cfg.slicer == "diagonal":
+    diff_prev = state.diff_prev
+    if cfg.differential:
+        bits, diff_prev = differential.diff_decode_symbols(derot, diff_prev)
+    elif cfg.slicer == "diagonal":
         bits = modmap.demod_bits(derot)
     else:
         bits = modmap.demod_bits_reference(derot)
@@ -292,6 +325,7 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
         bits=bits.reshape(batch + (nframes, 2 * nsf)),
         freq_hz=costas_ops.freq_to_hz(ftr, cfg.rs),
         timing_index=index)
-    new_state = RxState(fir_tail=fir_tail, nco_phase=nco_phase,
-                        costas=cstate, decim_delay=decim_delay)
+    new_state = state._replace(fir_tail=fir_tail, nco_phase=nco_phase,
+                               costas=cstate, decim_delay=decim_delay,
+                               diff_prev=diff_prev, timing=timing_state)
     return new_state, out

@@ -97,6 +97,57 @@ def timing_fractional(frame: CF32, cycles: int) -> jnp.ndarray:
     return jnp.mod(tau, float(cycles))
 
 
+def timing_track_init(batch_shape=()):
+    """State of the frame-rate timing PLL: (tau samples, dtau samples/frame)."""
+    return (jnp.zeros(batch_shape, jnp.float32),
+            jnp.zeros(batch_shape, jnp.float32))
+
+
+def _wrap_half_cycle(x: jnp.ndarray, cycles: int) -> jnp.ndarray:
+    """Wrap a timing error into [-cycles/2, cycles/2) — tau is circular."""
+    h = cycles / 2.0
+    return jnp.mod(x + h, float(cycles)) - h
+
+
+def timing_track_step(state, meas: jnp.ndarray, cycles: int,
+                      alpha: float = 0.5, beta: float = 0.08):
+    """One update of the second-order timing loop (the Gardner-class
+    tracking capability, realized TPU-first: the timing-error detector is
+    the *block* O&M estimate per frame, so the sequential part runs at
+    frame rate — 128x slower than a per-symbol Gardner scan — while all
+    per-sample math stays parallel).
+
+    ``alpha`` is the proportional gain (phase), ``beta`` the integral gain
+    (clock-rate); error halves roughly every frame, so pull-in from the
+    worst case (half a symbol) takes ~6 frames.  Returns
+    (tau_used (...,) in [0, cycles), new_state).
+    """
+    tau, dtau = state
+    e = _wrap_half_cycle(meas - tau, cycles)
+    dtau = dtau + jnp.float32(beta) * e
+    tau_used = tau + jnp.float32(alpha) * e
+    tau_next = jnp.mod(tau_used + dtau, float(cycles))
+    return jnp.mod(tau_used, float(cycles)), (tau_next, dtau)
+
+
+def timing_track(frames: CF32, cycles: int, state,
+                 alpha: float = 0.5, beta: float = 0.08):
+    """Run the timing PLL over (..., nframes, frame_size) filtered samples.
+
+    All per-frame O&M measurements are computed batched first; only the
+    tiny scalar smoother scans over the frame axis.  Returns
+    (tau_used (..., nframes), new_state)."""
+    meas = timing_fractional(frames, cycles)          # (..., nframes)
+    ms = jnp.moveaxis(meas, -1, 0)
+
+    def step(carry, m):
+        tau_used, carry = timing_track_step(carry, m, cycles, alpha, beta)
+        return carry, tau_used
+
+    state, used = jax.lax.scan(step, state, ms)
+    return jnp.moveaxis(used, 0, -1), state
+
+
 def estimate_and_decimate(frames: CF32, cycles: int, mode: str):
     """Dispatch the configured timing estimator + matching decimation over
     (..., nframes, frame_size) filtered samples.  The single place the
@@ -108,7 +159,12 @@ def estimate_and_decimate(frames: CF32, cycles: int, mode: str):
     if mode == "histogram":
         index = timing_histogram(frames, cycles)
         picks = decimate_select(frames, index, cycles)
-    elif mode == "fractional":
+    elif mode in ("fractional", "tracking"):
+        # "tracking" reaching here means the caller has no cross-block carry
+        # to thread (block-parallel / re-acquisition paths): it degrades to
+        # the stateless feedforward fractional estimate, which is what those
+        # paths' per-block independence requires.  The stateful loop lives in
+        # timing_track / timing_track_step (modem rx paths).
         tau = timing_fractional(frames, cycles)
         picks = decimate_fractional(frames, tau, cycles)
         index = jnp.round(tau).astype(jnp.int32)

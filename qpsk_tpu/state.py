@@ -11,7 +11,7 @@ functions, which makes vmap-per-channel, pjit sharding, and checkpoint/resume
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 from qpsk_tpu.config import ModemConfig
 from qpsk_tpu.ops.costas import CostasState, costas_init
@@ -23,6 +23,9 @@ from qpsk_tpu.ops.rrc import fir_init_tail
 class TxState(NamedTuple):
     fir_tail: CF32    # (..., ntaps-1) (qpsk.c:36)
     nco_phase: CF32   # (...,) unit phasor (qpsk.c:45)
+    # differential-mode accumulator (ops/differential.py); None when
+    # cfg.differential is off (None leaves vanish from the pytree)
+    diff_phase: Any = None   # (...,) int32 absolute phase index
 
 
 class RxState(NamedTuple):
@@ -30,16 +33,26 @@ class RxState(NamedTuple):
     nco_phase: CF32    # (...,) unit phasor (qpsk.c:48)
     costas: CostasState  # (...,) phase/freq (costas_loop.c:13-15)
     decim_delay: CF32  # (..., nsym) previous frame picks (qpsk.c:186-191)
+    diff_prev: Any = None    # (...,) CF32 previous symbol (differential mode)
+    timing: Any = None       # (tau, dtau) float32 pair (timing_mode="tracking")
 
 
 def tx_init(cfg: ModemConfig, batch_shape=()) -> TxState:
-    return TxState(fir_tail=fir_init_tail(cfg.ntaps, batch_shape),
-                   nco_phase=nco_init(batch_shape))
+    from qpsk_tpu.ops.differential import diff_tx_init
+    return TxState(
+        fir_tail=fir_init_tail(cfg.ntaps, batch_shape),
+        nco_phase=nco_init(batch_shape),
+        diff_phase=diff_tx_init(batch_shape) if cfg.differential else None)
 
 
 def rx_init(cfg: ModemConfig, batch_shape=(), acq_freq=0.0) -> RxState:
+    from qpsk_tpu.ops.differential import diff_rx_init
+    from qpsk_tpu.ops.timing import timing_track_init
     return RxState(
         fir_tail=fir_init_tail(cfg.ntaps, batch_shape),
         nco_phase=nco_init(batch_shape),
         costas=costas_init(batch_shape, freq=acq_freq),
-        decim_delay=czeros(batch_shape + (cfg.symbols_per_frame,)))
+        decim_delay=czeros(batch_shape + (cfg.symbols_per_frame,)),
+        diff_prev=diff_rx_init(batch_shape) if cfg.differential else None,
+        timing=(timing_track_init(batch_shape)
+                if cfg.timing_mode == "tracking" else None))
