@@ -72,6 +72,19 @@ def demod_bits(symbols: CF32) -> jnp.ndarray:
     return bits.reshape(symbols.shape[:-1] + (-1,))
 
 
+def demod_soft(symbols: CF32, scale=1.0) -> jnp.ndarray:
+    """Soft-decision twin of ``demod_bits``: LLR stream (..., 2*n), positive
+    = bit 0, elementwise aligned with the hard bit stream ([b1, b0] per
+    symbol).  For the diagonal Costas lock the per-bit decision statistics
+    are simply the I/Q coordinates: ``llr(b1) = scale*im``,
+    ``llr(b0) = scale*re`` (the exact LLR is ``2*sqrt(2)*A/sigma^2`` times
+    the coordinate; max-sum FEC decoding (packet/fec.py) is invariant to
+    positive scaling, so ``scale`` only matters if mixing streams of
+    different SNR)."""
+    llr = jnp.stack([symbols.im, symbols.re], axis=-1) * jnp.float32(scale)
+    return llr.reshape(symbols.shape[:-1] + (-1,))
+
+
 def demod_bits_reference(symbols: CF32) -> jnp.ndarray:
     """The reference's slicer, bug included (qpsk.c:74-79): rotate +45°,
     then b0 = Re < 0, b1 = Im < 0, stream order [b1, b0].  Against the

@@ -14,4 +14,7 @@ from qpsk_tpu.packet.scramble import keystream, scramble_bits
 from qpsk_tpu.packet.interleave import (interleave_bits, deinterleave_bits,
                                         interleave_permutation)
 from qpsk_tpu.packet.frame import (PacketConfig, assemble_packet,
-                                   disassemble_packet)
+                                   disassemble_packet,
+                                   disassemble_packet_soft)
+from qpsk_tpu.packet.fec import (ConvCode, conv_encode, viterbi_decode,
+                                 hard_llrs)

@@ -36,10 +36,23 @@ class PacketConfig:
     scramble_seed: int = 0x4A80      # bit-scramble.h:13
     scramble: bool = True
     interleave: bool = True
+    # fec: wrap the CRC'd payload in the rate-1/2 K=7 convolutional code
+    # (packet/fec.py) before scrambling/interleaving.  Capability extension
+    # (the reference ships no FEC); the interleaver now also does its real
+    # job — spreading channel burst errors across the Viterbi decoder's
+    # constraint lengths.
+    fec: bool = False
+
+    @property
+    def payload_crc_bits(self) -> int:
+        return 8 * self.payload_bytes + 16  # payload + CRC16
 
     @property
     def frame_bits(self) -> int:
-        return 8 * self.payload_bytes + 16  # payload + CRC16
+        if self.fec:
+            from qpsk_tpu.packet.fec import ConvCode
+            return ConvCode().coded_bits(self.payload_crc_bits)
+        return self.payload_crc_bits
 
 
 class RxPacket(NamedTuple):
@@ -48,9 +61,16 @@ class RxPacket(NamedTuple):
 
 
 def assemble_packet(pcfg: PacketConfig, payload_bits: jnp.ndarray) -> jnp.ndarray:
-    """(..., 8*payload_bytes) payload bits → (..., frame_bits) channel bits."""
+    """(..., 8*payload_bytes) payload bits → (..., frame_bits) channel bits.
+
+    TX order: CRC16 append → [conv encode] → scramble → interleave — the
+    scrambler whitens the *coded* stream and the interleaver spreads bursts
+    across the decoder's constraint lengths."""
     assert payload_bits.shape[-1] == 8 * pcfg.payload_bytes, payload_bits.shape
     bits = crc16_append_bits(payload_bits)
+    if pcfg.fec:
+        from qpsk_tpu.packet.fec import ConvCode, conv_encode
+        bits = conv_encode(ConvCode(), bits)
     if pcfg.scramble:
         bits = scramble_bits(bits, pcfg.scramble_seed)
     if pcfg.interleave:
@@ -59,10 +79,39 @@ def assemble_packet(pcfg: PacketConfig, payload_bits: jnp.ndarray) -> jnp.ndarra
 
 
 def disassemble_packet(pcfg: PacketConfig, bits: jnp.ndarray) -> RxPacket:
-    """(..., frame_bits) received bits → payload + CRC verdict."""
+    """(..., frame_bits) received *hard* bits → payload + CRC verdict.
+    With FEC on this is hard-input Viterbi (~2 dB off the soft path —
+    use ``disassemble_packet_soft`` when LLRs are available)."""
     assert bits.shape[-1] == pcfg.frame_bits, (bits.shape, pcfg.frame_bits)
+    if pcfg.fec:
+        from qpsk_tpu.packet.fec import hard_llrs
+        return disassemble_packet_soft(pcfg, hard_llrs(bits))
     if pcfg.interleave:
         bits = deinterleave_bits(bits)
     if pcfg.scramble:
         bits = scramble_bits(bits, pcfg.scramble_seed)
+    return RxPacket(payload_bits=bits[..., :-16], crc_ok=crc16_check_bits(bits))
+
+
+def disassemble_packet_soft(pcfg: PacketConfig, llrs: jnp.ndarray) -> RxPacket:
+    """(..., frame_bits) received LLRs (positive = bit 0, see
+    ``modmap.demod_soft``) → payload + CRC verdict.
+
+    The whole RX frame pipeline runs in the soft domain: deinterleave is
+    the same gather on floats, descramble is a keystream sign flip
+    (XOR with bit 1 ≡ negate the LLR), then soft Viterbi when FEC is on.
+    """
+    assert llrs.shape[-1] == pcfg.frame_bits, (llrs.shape, pcfg.frame_bits)
+    llrs = jnp.asarray(llrs, jnp.float32)
+    if pcfg.interleave:
+        llrs = deinterleave_bits(llrs)  # dtype-agnostic permutation gather
+    if pcfg.scramble:
+        ks = scramble_bits(jnp.zeros((pcfg.frame_bits,), jnp.int32),
+                           pcfg.scramble_seed)
+        llrs = llrs * (1 - 2 * ks).astype(jnp.float32)
+    if pcfg.fec:
+        from qpsk_tpu.packet.fec import ConvCode, viterbi_decode
+        bits = viterbi_decode(ConvCode(), llrs, pcfg.payload_crc_bits)
+    else:
+        bits = (llrs < 0).astype(jnp.int32)
     return RxPacket(payload_bits=bits[..., :-16], crc_ok=crc16_check_bits(bits))

@@ -28,7 +28,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from qpsk_tpu.packet.frame import PacketConfig, RxPacket, disassemble_packet
+from qpsk_tpu.packet.frame import (PacketConfig, RxPacket, disassemble_packet,
+                                   disassemble_packet_soft)
 
 # One 90° CCW rotation of the received constellation permutes sliced dibit
 # indices 0→1→3→2→0 (quadrant walk of the diagonal lock; see
@@ -56,6 +57,36 @@ def rotate_dibits(bits: jnp.ndarray, r) -> jnp.ndarray:
     m2 = perm[m]
     out = jnp.stack([(m2 >> 1) & 1, m2 & 1], axis=-1)
     return out.reshape(b.shape)
+
+
+def rotate_soft(llrs: jnp.ndarray, r) -> jnp.ndarray:
+    """Soft-domain twin of ``rotate_dibits``: re-slice an LLR stream
+    (..., 2n) under rotation hypothesis ``r``.  One 90-deg CCW step maps a
+    symbol (re, im) -> (-im, re), i.e. the per-symbol LLR pair
+    (l1, l0) = (im, re) -> (l0, -l1).  Applied with static ``jnp.where``
+    over the 4 hypotheses when ``r`` is traced."""
+    l = jnp.asarray(llrs, jnp.float32)
+    pairs = l.reshape(l.shape[:-1] + (-1, 2))
+    a, b = pairs[..., 0], pairs[..., 1]
+    cands = []
+    for _ in range(4):
+        cands.append(jnp.stack([a, b], axis=-1))
+        a, b = b, -a
+    out = jnp.stack(cands)[r] if isinstance(r, int) else jnp.select(
+        [jnp.asarray(r) == k for k in range(4)], cands)
+    return out.reshape(l.shape)
+
+
+def extract_packets_soft(pcfg: PacketConfig, llrs: jnp.ndarray,
+                         sync: "SyncResult", nframes: int) -> RxPacket:
+    """Soft-decision twin of ``extract_packets``: slice ``nframes`` aligned
+    frames out of a 1-D LLR stream (``modmap.demod_soft`` of the demod
+    symbols — elementwise aligned with the hard bit stream) and disassemble
+    them in the soft domain (soft Viterbi when ``pcfg.fec``)."""
+    fb = pcfg.frame_bits
+    idx = sync.bit_lag + jnp.arange(nframes * fb, dtype=jnp.int32)
+    aligned = rotate_soft(llrs[idx], sync.rotation)
+    return disassemble_packet_soft(pcfg, aligned.reshape(nframes, fb))
 
 
 def find_sync(pcfg: PacketConfig, bits: jnp.ndarray, max_lag: int = 512,
