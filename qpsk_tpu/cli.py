@@ -30,13 +30,27 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--parity", action="store_true",
                    help="reference-parity mode (histogram timing, exact NCO)")
+    p.add_argument("--differential", action="store_true",
+                   help="DQPSK: rotation-immune decode, no CRC rotation search")
+    p.add_argument("--timing", type=str, default="power",
+                   choices=["power", "fractional", "tracking", "histogram"],
+                   help="symbol-timing estimator (tracking = frame-rate PLL)")
+    p.add_argument("--fec", action="store_true",
+                   help="rate-1/2 K=7 convolutional code + soft Viterbi")
 
 
 def _cfg(args):
     from qpsk_tpu.config import ModemConfig, config_parity
     if getattr(args, "parity", False):
         return config_parity()
-    return ModemConfig(rs=args.baud)
+    return ModemConfig(rs=args.baud,
+                       differential=getattr(args, "differential", False),
+                       timing_mode=getattr(args, "timing", "power"))
+
+
+def _pcfg(args):
+    from qpsk_tpu.packet import PacketConfig
+    return PacketConfig(payload_bytes=30, fec=getattr(args, "fec", False))
 
 
 def cmd_loopback(args) -> int:
@@ -48,11 +62,12 @@ def cmd_loopback(args) -> int:
     from qpsk_tpu.metrics import evm, per
     from qpsk_tpu.modem import rx_stream
     from qpsk_tpu.ops.cplx import CF32
-    from qpsk_tpu.packet import PacketConfig, assemble_packet
-    from qpsk_tpu.sync import extract_packets_tracked, find_sync
+    from qpsk_tpu.packet import assemble_packet
+    from qpsk_tpu.sync import (extract_packets_soft_tracked,
+                               extract_packets_tracked, find_sync)
 
     cfg = _cfg(args)
-    pcfg = PacketConfig(payload_bytes=30)
+    pcfg = _pcfg(args)
     rng = np.random.default_rng(args.seed)
     payload = jnp.asarray(
         rng.integers(0, 2, (args.frames, 8 * pcfg.payload_bytes), dtype=np.int32))
@@ -68,7 +83,12 @@ def cmd_loopback(args) -> int:
                        snr_db=args.snr_db, signal_power=sp,
                        pcm_scale=cfg.pcm_scale)
 
-    _, out = rx_stream(cfg, rx_init(cfg), pcm.reshape(-1, cfg.frame_size))
+    # packet PCM length need not divide the RX frame: pad with silence
+    flat = pcm.reshape(-1)
+    npad = (-flat.size) % cfg.frame_size
+    if npad:
+        flat = jnp.concatenate([flat, jnp.zeros((npad,), flat.dtype)])
+    _, out = rx_stream(cfg, rx_init(cfg), flat.reshape(-1, cfg.frame_size))
 
     if args.frames < 8:
         print(f"error: --frames must be >= 8 (packet sync needs a probe "
@@ -81,7 +101,16 @@ def cmd_loopback(args) -> int:
                      max_lag=600, probe_frames=4)
     navail = ((bits.size - skip * pcfg.frame_bits - int(sync.bit_lag))
               // pcfg.frame_bits)
-    rx = extract_packets_tracked(pcfg, bits[skip * pcfg.frame_bits:], sync, navail)
+    if args.fec:
+        # soft-decision extraction (LLRs from the demod symbols)
+        from qpsk_tpu.ops.modmap import demod_soft
+        llrs = demod_soft(CF32(out.symbols.re.reshape(-1),
+                               out.symbols.im.reshape(-1)))
+        rx = extract_packets_soft_tracked(pcfg, llrs[skip * pcfg.frame_bits:],
+                                          sync, navail)
+    else:
+        rx = extract_packets_tracked(pcfg, bits[skip * pcfg.frame_bits:],
+                                     sync, navail)
     m = evm(CF32(out.symbols.re[skip:], out.symbols.im[skip:]))
 
     result = {
@@ -126,10 +155,10 @@ def cmd_tx(args) -> int:
 
     from qpsk_tpu import tx_init
     from qpsk_tpu.modem import tx_stream
-    from qpsk_tpu.packet import PacketConfig, assemble_packet
+    from qpsk_tpu.packet import assemble_packet
 
     cfg = _cfg(args)
-    pcfg = PacketConfig(payload_bytes=30)
+    pcfg = _pcfg(args)
     rng = np.random.default_rng(args.seed)
     payload = jnp.asarray(
         rng.integers(0, 2, (args.frames, 8 * pcfg.payload_bytes), dtype=np.int32))
@@ -153,11 +182,10 @@ def cmd_rx(args) -> int:
     from qpsk_tpu import rx_init
     from qpsk_tpu.metrics import per
     from qpsk_tpu.modem import rx_stream
-    from qpsk_tpu.packet import PacketConfig
     from qpsk_tpu.sync import extract_packets_tracked, find_sync
 
     cfg = _cfg(args)
-    pcfg = PacketConfig(payload_bytes=30)
+    pcfg = _pcfg(args)
     if args.infile.endswith(".wav"):
         from qpsk_tpu.io import read_wav
         pcm, sr = read_wav(args.infile)

@@ -138,26 +138,15 @@ class TrackedPackets(NamedTuple):
     rotation: jnp.ndarray      # (nframes,) int32 — rotation used per packet
 
 
-def extract_packets_tracked(pcfg: PacketConfig, bits: jnp.ndarray,
-                            sync: SyncResult, nframes: int) -> TrackedPackets:
-    """Like ``extract_packets`` but recovers from Costas **cycle slips**:
-    at low SNR the loop occasionally slips 90°, rotating every subsequent
-    symbol.  All four rotation hypotheses of every packet are disassembled
-    in one batched pass (cheap: dibit permutation + XOR + CRC scan); per
-    packet, a hypothesis passing CRC wins and updates the tracked rotation,
-    and CRC-failed packets are decoded at the tracked rotation — so one
-    slip costs at most the packet it lands in, not the rest of the stream.
-    A 16-bit CRC accepts a wrong hypothesis with p = 2^-16.
-    """
-    fb = pcfg.frame_bits
-    idx = sync.bit_lag + jnp.arange(nframes * fb, dtype=jnp.int32)
-    frames = bits[idx].reshape(nframes, fb)
-    # all rotations, batched: (4, nframes, fb) -> payloads + crc verdicts
-    cand = jnp.stack([rotate_dibits(frames, r) for r in range(4)])
-    rx = disassemble_packet(pcfg, cand)
+def _track_rotations(rx: RxPacket, start_rot: int) -> TrackedPackets:
+    """Host-side rotation tracker shared by the hard and soft extractors:
+    given all-4-hypothesis verdicts (4, nframes), per packet a hypothesis
+    passing CRC wins (preferring the tracked rotation) and updates the
+    track; CRC-failed packets decode at the tracked rotation."""
     ok = np.asarray(rx.crc_ok)                     # (4, nframes)
     payloads = np.asarray(rx.payload_bits)         # (4, nframes, bits)
-    current = int(sync.rotation)
+    nframes = ok.shape[1]
+    current = start_rot
     rot_used = np.zeros(nframes, np.int32)
     out_ok = np.zeros(nframes, bool)
     out_payload = np.zeros((nframes, payloads.shape[-1]), payloads.dtype)
@@ -176,3 +165,40 @@ def extract_packets_tracked(pcfg: PacketConfig, bits: jnp.ndarray,
     return TrackedPackets(payload_bits=jnp.asarray(out_payload),
                           crc_ok=jnp.asarray(out_ok),
                           rotation=jnp.asarray(rot_used))
+
+
+def extract_packets_tracked(pcfg: PacketConfig, bits: jnp.ndarray,
+                            sync: SyncResult, nframes: int) -> TrackedPackets:
+    """Like ``extract_packets`` but recovers from Costas **cycle slips**:
+    at low SNR the loop occasionally slips 90°, rotating every subsequent
+    symbol.  All four rotation hypotheses of every packet are disassembled
+    in one batched pass (cheap: dibit permutation + XOR + CRC scan); per
+    packet, a hypothesis passing CRC wins and updates the tracked rotation,
+    and CRC-failed packets are decoded at the tracked rotation — so one
+    slip costs at most the packet it lands in, not the rest of the stream.
+    A 16-bit CRC accepts a wrong hypothesis with p = 2^-16.
+    """
+    fb = pcfg.frame_bits
+    idx = sync.bit_lag + jnp.arange(nframes * fb, dtype=jnp.int32)
+    frames = bits[idx].reshape(nframes, fb)
+    # all rotations, batched: (4, nframes, fb) -> payloads + crc verdicts
+    cand = jnp.stack([rotate_dibits(frames, r) for r in range(4)])
+    return _track_rotations(disassemble_packet(pcfg, cand),
+                            int(sync.rotation))
+
+
+def extract_packets_soft_tracked(pcfg: PacketConfig, llrs: jnp.ndarray,
+                                 sync: SyncResult,
+                                 nframes: int) -> TrackedPackets:
+    """Soft-decision twin of ``extract_packets_tracked``: all four rotation
+    hypotheses ride the batch axis through the soft disassembly (incl. the
+    Viterbi scan when ``pcfg.fec``), then the same rotation tracker picks
+    per packet.  This is the robust low-SNR soft path — exactly where FEC
+    operates, cycle slips are routine, so the soft extractor needs slip
+    recovery even more than the hard one."""
+    fb = pcfg.frame_bits
+    idx = sync.bit_lag + jnp.arange(nframes * fb, dtype=jnp.int32)
+    frames = llrs[idx].reshape(nframes, fb)
+    cand = jnp.stack([rotate_soft(frames, r) for r in range(4)])
+    return _track_rotations(disassemble_packet_soft(pcfg, cand),
+                            int(sync.rotation))

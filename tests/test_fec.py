@@ -18,7 +18,9 @@ from qpsk_tpu.packet import (ConvCode, PacketConfig, assemble_packet,
                              conv_encode, disassemble_packet,
                              disassemble_packet_soft, hard_llrs,
                              viterbi_decode)
-from qpsk_tpu.sync import extract_packets_soft, find_sync
+from qpsk_tpu.sync import (SyncResult, extract_packets_soft,
+                           extract_packets_soft_tracked, find_sync,
+                           rotate_soft)
 
 CODE = ConvCode()
 
@@ -98,6 +100,32 @@ def test_coded_packet_roundtrip_and_burst():
     assert np.asarray(rx3.crc_ok).all()
 
 
+def test_soft_tracked_recovers_cycle_slip():
+    """A 90-deg rotation flip at a packet boundary (synthetic Costas cycle
+    slip) on a clean coded LLR stream: the tracked soft extractor decodes
+    every packet, adopting the new rotation; the fixed-rotation extractor
+    loses everything after the slip."""
+    pcfg = PacketConfig(payload_bytes=30, fec=True)
+    rng = np.random.default_rng(5)
+    npkt = 10
+    payload = jnp.asarray(rng.integers(0, 2, (npkt, 240), dtype=np.int32))
+    clean = hard_llrs(assemble_packet(pcfg, payload))  # (npkt, fb) LLRs
+    # a physical +90-deg slip needs hypothesis r=1 to undo => apply the
+    # group inverse rotation (3 steps) to the second half of the stream
+    slipped = jnp.concatenate(
+        [clean[:npkt // 2].ravel(),
+         rotate_soft(clean[npkt // 2:].ravel(), 3)])
+    sync = SyncResult(rotation=jnp.int32(0), bit_lag=jnp.int32(0),
+                      score=jnp.int32(4))
+    fixed = extract_packets_soft(pcfg, slipped, sync, npkt)
+    tracked = extract_packets_soft_tracked(pcfg, slipped, sync, npkt)
+    assert np.asarray(fixed.crc_ok).sum() == npkt // 2
+    assert np.asarray(tracked.crc_ok).all()
+    assert np.array_equal(np.asarray(tracked.payload_bits),
+                          np.asarray(payload))
+    assert np.asarray(tracked.rotation[-1]) == 1
+
+
 def test_coded_link_beats_uncoded():
     """End-to-end at 5 dB SNR (+50 Hz offset): soft-decision coded packets
     ~all pass while the uncoded link cannot even sync (measured sweep:
@@ -130,7 +158,7 @@ def test_coded_link_beats_uncoded():
                               out.symbols.im.reshape(-1))).ravel()[skip:]
         sync = find_sync(pcfg, bits, max_lag=600, probe_frames=4)
         nav = (bits.size - int(sync.bit_lag)) // pcfg.frame_bits
-        rx = extract_packets_soft(pcfg, llrs, sync, nav)
+        rx = extract_packets_soft_tracked(pcfg, llrs, sync, nav)
         return int(sync.score), np.asarray(rx.crc_ok)
 
     score_c, ok_c = run(PacketConfig(payload_bytes=30, fec=True), 24)
