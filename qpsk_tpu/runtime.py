@@ -22,6 +22,9 @@ Behavior:
   and is CRC-tracked thereafter (cycle slips cost one packet, not the
   stream); each drained span disassembles all four rotation hypotheses in
   ONE batched device pass;
+* with ``pcfg.fec`` the receiver buffers LLRs alongside the hard bits and
+  drains packets through soft-decision Viterbi (~2 dB over hard-input
+  decoding) — hard bits still drive the CRC-scored sync hunt;
 * ``flush()`` drains remaining whole packets; counters expose link metrics
   (frames, packets, CRC failures, detected offset);
 * signal gaps: if CRC failures persist for ``resync_after`` consecutive
@@ -40,9 +43,12 @@ import numpy as np
 from qpsk_tpu.config import ModemConfig
 from qpsk_tpu.modem import rx_acquire_hz, rx_stream
 from qpsk_tpu.ops.acquire import hz_to_costas_freq
-from qpsk_tpu.packet.frame import PacketConfig, disassemble_packet
+from qpsk_tpu.ops.cplx import CF32
+from qpsk_tpu.ops.modmap import demod_soft
+from qpsk_tpu.packet.frame import (PacketConfig, disassemble_packet,
+                                   disassemble_packet_soft)
 from qpsk_tpu.state import rx_init
-from qpsk_tpu.sync import SyncResult, find_sync, rotate_dibits
+from qpsk_tpu.sync import SyncResult, find_sync, rotate_dibits, rotate_soft
 
 
 class Packet(NamedTuple):
@@ -76,6 +82,10 @@ class StreamDemodulator:
 
         self._pcm_buf = np.zeros(0, np.int16)
         self._bit_buf = np.zeros(0, np.int32)
+        # with FEC, a parallel LLR buffer (elementwise aligned with the bit
+        # buffer) feeds soft-decision Viterbi — ~2 dB over hard-input
+        self._use_soft = pcfg.fec
+        self._llr_buf = np.zeros(0, np.float32)
         self._state = None
         self._sync: SyncResult | None = None
         self._rotation = 0
@@ -113,6 +123,11 @@ class StreamDemodulator:
             np.asarray(out.freq_hz)[-min(10, nframes):]))
         self._bit_buf = np.concatenate(
             [self._bit_buf, np.asarray(out.bits).ravel()])
+        if self._use_soft:
+            llrs = demod_soft(CF32(out.symbols.re.reshape(-1),
+                                   out.symbols.im.reshape(-1)))
+            self._llr_buf = np.concatenate(
+                [self._llr_buf, np.asarray(llrs).ravel()])
         return self._drain()
 
     # ------------------------------------------------------------------
@@ -128,8 +143,10 @@ class StreamDemodulator:
                              probe_frames=self.probe_frames)
             if int(sync.score) >= max(2, self.probe_frames - 1):
                 # consume everything before the first aligned packet
-                self._bit_buf = self._bit_buf[self.sync_skip
-                                              + int(sync.bit_lag):]
+                cut = self.sync_skip + int(sync.bit_lag)
+                self._bit_buf = self._bit_buf[cut:]
+                if self._use_soft:
+                    self._llr_buf = self._llr_buf[cut:]
                 self._sync = sync
                 self._rotation = int(sync.rotation)
                 self.counters.synced = True
@@ -140,7 +157,10 @@ class StreamDemodulator:
             # dead — slide the hunt forward if more stream remains, and
             # trim the dead prefix so the buffer stays bounded
             if self._bit_buf.size - self.sync_skip > probe_bits + window:
-                self._bit_buf = self._bit_buf[self.sync_skip + window:]
+                cut = self.sync_skip + window
+                self._bit_buf = self._bit_buf[cut:]
+                if self._use_soft:
+                    self._llr_buf = self._llr_buf[cut:]
                 self.sync_skip = 0
                 continue
             return False
@@ -158,8 +178,16 @@ class StreamDemodulator:
                 self._bit_buf[:nf * fb]).reshape(nf, fb)
             self._bit_buf = self._bit_buf[nf * fb:]
             # one batched pass over all frames x all 4 rotations
-            cand = jnp.stack([rotate_dibits(frames, r) for r in range(4)])
-            rx = disassemble_packet(self.pcfg, cand)
+            if self._use_soft:
+                soft = jnp.asarray(
+                    self._llr_buf[:nf * fb]).reshape(nf, fb)
+                self._llr_buf = self._llr_buf[nf * fb:]
+                cand = jnp.stack([rotate_soft(soft, r) for r in range(4)])
+                rx = disassemble_packet_soft(self.pcfg, cand)
+            else:
+                cand = jnp.stack([rotate_dibits(frames, r)
+                                  for r in range(4)])
+                rx = disassemble_packet(self.pcfg, cand)
             ok = np.asarray(rx.crc_ok)               # (4, nf)
             payloads = np.asarray(rx.payload_bits)   # (4, nf, bits)
             resync = False
@@ -189,6 +217,10 @@ class StreamDemodulator:
                     rest = np.asarray(frames[j + 1:]).reshape(-1)
                     self._bit_buf = np.concatenate(
                         [rest.astype(np.int32), self._bit_buf])
+                    if self._use_soft:
+                        rest_s = np.asarray(soft[j + 1:]).reshape(-1)
+                        self._llr_buf = np.concatenate(
+                            [rest_s.astype(np.float32), self._llr_buf])
                     resync = True
                     break
             if not resync:
