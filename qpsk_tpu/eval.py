@@ -18,9 +18,11 @@ from qpsk_tpu.config import ModemConfig
 from qpsk_tpu.metrics import evm
 from qpsk_tpu.modem import rx_stream, tx_stream
 from qpsk_tpu.ops.cplx import CF32
+from qpsk_tpu.ops.modmap import demod_soft
 from qpsk_tpu.packet import PacketConfig, assemble_packet
 from qpsk_tpu.state import rx_init, tx_init
-from qpsk_tpu.sync import extract_packets_tracked, find_sync
+from qpsk_tpu.sync import (extract_packets_soft_tracked,
+                           extract_packets_tracked, find_sync)
 
 
 def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
@@ -30,16 +32,24 @@ def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
     """Packet/bit error rates across SNR points, one fused RX pass.
 
     Returns one record per SNR: {snr_db, per, ber, evm_rms, detected_hz,
-    packets, sync_score}.
+    packets, sync_score}.  Packets need not fill a whole number of modem
+    frames (coded packets don't): the channel-bit stream is padded to the
+    frame grid.  With ``pcfg.fec`` the extraction runs in the soft domain
+    (LLRs from the demod symbols -> soft Viterbi).
     """
-    assert pcfg.frame_bits == 2 * cfg.symbols_per_frame, (
-        "packet must fill one modem frame")
     snr = np.asarray(list(snr_db), np.float32)
     ns = snr.size
     rng = np.random.default_rng(seed)
     payload = jnp.asarray(rng.integers(
         0, 2, (nframes, 8 * pcfg.payload_bytes), dtype=np.int32))
-    chan_bits = assemble_packet(pcfg, payload)
+    chan_bits = assemble_packet(pcfg, payload).ravel()
+    mframe_bits = 2 * cfg.symbols_per_frame
+    npad = (-chan_bits.size) % mframe_bits
+    if npad:
+        chan_bits = jnp.concatenate(
+            [chan_bits,
+             jnp.asarray(rng.integers(0, 2, (npad,), dtype=np.int32))])
+    chan_bits = chan_bits.reshape(-1, mframe_bits)
 
     _, pcm = tx_stream(cfg, tx_init(cfg), chan_bits,
                        tx_offset_hz=offset_hz)          # (F, frame)
@@ -57,9 +67,12 @@ def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
     det = np.asarray(jnp.mean(out.freq_hz[:, -10:], axis=-1))
 
     bits = np.asarray(out.bits).reshape(ns, -1)
+    llrs = (np.asarray(demod_soft(CF32(out.symbols.re.reshape(ns, -1),
+                                       out.symbols.im.reshape(ns, -1))))
+            if pcfg.fec else None)
     want = np.asarray(payload)
     results = []
-    skip_bits = skip_frames * pcfg.frame_bits
+    skip_bits = skip_frames * mframe_bits  # modem frames, not packets
     for i in range(ns):
         stream = jnp.asarray(bits[i, skip_bits:])
         sync = find_sync(pcfg, stream, max_lag=600, probe_frames=4)
@@ -68,7 +81,11 @@ def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
                "detected_hz": float(det[i]), "sync_score": int(sync.score),
                "packets": 0, "per": 1.0, "ber": 0.5}
         if int(sync.score) > 0 and navail > 0:
-            rx = extract_packets_tracked(pcfg, stream, sync, navail)
+            if pcfg.fec:
+                rx = extract_packets_soft_tracked(
+                    pcfg, jnp.asarray(llrs[i, skip_bits:]), sync, navail)
+            else:
+                rx = extract_packets_tracked(pcfg, stream, sync, navail)
             ok = np.asarray(rx.crc_ok)
             got = np.asarray(rx.payload_bits)
             # anchor stream offset using the first CRC-ok packet

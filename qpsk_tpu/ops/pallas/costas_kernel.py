@@ -128,10 +128,13 @@ def _costas_pallas_tc(zr, zi, phase0, freq0, params_vec,
 
 
 def _pick_tiles(c: int, t: int):
-    # widest channel tile wins: per-step fixed cost amortizes across lanes
-    # (measured on v5e: ct 512→2048 cut us/step from 1.67 to 1.44)
+    # widest channel tile wins: the per-step cost is loop/VMEM-issue
+    # overhead, not VPU compute, so it amortizes across lanes (measured on
+    # v5e: ct 512→2048 cut us/step from 1.67 to 1.44; the channel-tile grid
+    # axis is OUTER-sequential, so channels beyond ct multiply wall time
+    # linearly — keep ct as wide as VMEM allows)
     ct = 128
-    while ct * 2 <= min(c, 2048) and c % (ct * 2) == 0:
+    while ct * 2 <= min(c, 8192) and c % (ct * 2) == 0:
         ct *= 2
     tt = t
     # stream T in tiles that keep the VMEM working set modest (~4 buffers
