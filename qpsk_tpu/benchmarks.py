@@ -12,11 +12,13 @@ Measurement discipline (matters on tunneled/remote TPU backends):
   ``np.asarray`` of a full output would measure the transfer;
 * iterations chain the state pytree so XLA cannot overlap them.
 
-Measured on one TPU v5e chip (2026-08-17): ~2.2 Gsamples/s at 2048
-channels — ~176x the 12.5 MS/s per-chip share of the BASELINE 100 MS/s
-v5e-8 target.  The fused rx_stream path (one mix + one block-FIR matmul +
-one-hot decimation + a single Costas scan) is what makes this possible; the
-naive per-frame scan with a ``take_along_axis`` decimator ran 30x slower.
+Measured on one TPU v5e chip (2026-08-17): ~3.9 Gsamples/s at 2048 and
+4096 channels (plateau; 8192 dips to ~3.5 as HBM traffic grows) — ~315x
+the 12.5 MS/s per-chip share of the BASELINE 100 MS/s v5e-8 target.  The
+fused rx_stream path (one mix + one block-FIR matmul + one-hot decimation
++ a single Pallas Costas kernel with the channel batch on the lanes) is
+what makes this possible; the naive per-frame scan with a
+``take_along_axis`` decimator ran 30x slower.
 """
 
 from __future__ import annotations
