@@ -40,3 +40,20 @@ def test_pallas_multi_tile_grid():
     st_p, out_p, _ = costas_run_pallas_traced(state, z, params, interpret=True)
     np.testing.assert_array_equal(np.asarray(out_ref.re), np.asarray(out_p.re))
     np.testing.assert_array_equal(np.asarray(st_ref.freq), np.asarray(st_p.freq))
+
+
+def test_pallas_wide_channel_tile():
+    """The widened channel tile (ct up to 8192; one grid step for c=4096)
+    stays bit-exact against the scan — pins the round-1 tile-cap raise."""
+    c, t = 4096, 16
+    from qpsk_tpu.ops.pallas.costas_kernel import _pick_tiles
+    assert _pick_tiles(c, t)[0] == 4096
+    params = costas_ops.costas_params(0.0628)
+    state = costas_ops.costas_init((c,), phase=0.1, freq=0.03)
+    z = _random_symbols(c, t, seed=2)
+    st_ref, out_ref = costas_ops.costas_run(state, z, params)
+    st_p, out_p, _ = costas_run_pallas_traced(state, z, params, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_ref.re), np.asarray(out_p.re))
+    np.testing.assert_array_equal(np.asarray(out_ref.im), np.asarray(out_p.im))
+    np.testing.assert_array_equal(np.asarray(st_ref.phase), np.asarray(st_p.phase))
+    np.testing.assert_array_equal(np.asarray(st_ref.freq), np.asarray(st_p.freq))

@@ -63,3 +63,19 @@ def test_find_sync_no_lock_scores_zero():
     noise = jnp.asarray(rng.integers(0, 2, 4096, dtype=np.int32))
     sync = find_sync(pcfg, noise, max_lag=256, probe_frames=3)
     assert int(sync.score) == 0
+
+
+def test_rotate_soft_consistent_with_hard():
+    """Property: hard-slicing a soft-rotated LLR stream equals hard-rotating
+    the hard-sliced stream, for every rotation (the two rotation walks are
+    the same group action in different domains)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from qpsk_tpu.sync import rotate_dibits, rotate_soft
+    rng = np.random.default_rng(0)
+    llrs = jnp.asarray(rng.normal(size=(512,)).astype(np.float32))
+    hard = (llrs < 0).astype(jnp.int32)
+    for r in range(4):
+        a = np.asarray((rotate_soft(llrs, r) < 0).astype(jnp.int32))
+        b = np.asarray(rotate_dibits(hard, r))
+        assert np.array_equal(a, b), r
