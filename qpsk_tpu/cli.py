@@ -101,7 +101,7 @@ def cmd_loopback(args) -> int:
                      max_lag=600, probe_frames=4)
     navail = ((bits.size - skip * pcfg.frame_bits - int(sync.bit_lag))
               // pcfg.frame_bits)
-    if args.fec:
+    if args.fec and not cfg.differential:
         # soft-decision extraction (LLRs from the demod symbols)
         from qpsk_tpu.ops.modmap import demod_soft
         llrs = demod_soft(CF32(out.symbols.re.reshape(-1),
@@ -109,6 +109,9 @@ def cmd_loopback(args) -> int:
         rx = extract_packets_soft_tracked(pcfg, llrs[skip * pcfg.frame_bits:],
                                           sync, navail)
     else:
+        # differential bits come from the turn-difference decode, so
+        # per-bit LLRs of the absolute symbols don't apply: FEC (if on)
+        # decodes hard-input inside disassemble_packet (~2 dB off soft)
         rx = extract_packets_tracked(pcfg, bits[skip * pcfg.frame_bits:],
                                      sync, navail)
     m = evm(CF32(out.symbols.re[skip:], out.symbols.im[skip:]))

@@ -83,8 +83,11 @@ class StreamDemodulator:
         self._pcm_buf = np.zeros(0, np.int16)
         self._bit_buf = np.zeros(0, np.int32)
         # with FEC, a parallel LLR buffer (elementwise aligned with the bit
-        # buffer) feeds soft-decision Viterbi — ~2 dB over hard-input
-        self._use_soft = pcfg.fec
+        # buffer) feeds soft-decision Viterbi — ~2 dB over hard-input.
+        # Differential bits come from the turn-difference decode, so
+        # per-bit LLRs of the absolute symbols don't apply there: FEC
+        # falls back to hard-input Viterbi inside disassemble_packet.
+        self._use_soft = pcfg.fec and not cfg.differential
         self._llr_buf = np.zeros(0, np.float32)
         self._state = None
         self._sync: SyncResult | None = None
