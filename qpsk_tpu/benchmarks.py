@@ -12,13 +12,15 @@ Measurement discipline (matters on tunneled/remote TPU backends):
   ``np.asarray`` of a full output would measure the transfer;
 * iterations chain the state pytree so XLA cannot overlap them.
 
-Measured on one TPU v5e chip (2026-08-17): ~3.9 Gsamples/s at 2048 and
-4096 channels (plateau; 8192 dips to ~3.5 as HBM traffic grows) — ~315x
-the 12.5 MS/s per-chip share of the BASELINE 100 MS/s v5e-8 target.  The
-fused rx_stream path (one mix + one block-FIR matmul + one-hot decimation
-+ a single Pallas Costas kernel with the channel batch on the lanes) is
-what makes this possible; the naive per-frame scan with a
-``take_along_axis`` decimator ran 30x slower.
+Measured on one TPU v5e chip (2026-08-17): **8.1 Gsamples/s** at 2048
+channels — ~650x the 12.5 MS/s per-chip share of the BASELINE 100 MS/s
+v5e-8 target.  Two things matter equally: the fused rx_stream path (one
+mix + one split block-FIR matmul + one-hot decimation + a single Pallas
+Costas kernel with the channel batch on the lanes), and amortizing the
+relayed backend's ~1.8 ms per-launch cost over an in-jit fori_loop of
+chained steps — per-call timing measures the tunnel, not the chip (a null
+``x*2`` jit costs 1.76 ms/call here).  The naive per-frame scan with a
+``take_along_axis`` decimator ran 30x slower than the fused path.
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ import numpy as np
 
 
 def tx_throughput(channels: int | None = None, frames: int | None = None,
-                  iters: int | None = None) -> dict:
+                  iters: int | None = None, inner: int | None = None) -> dict:
     """Aggregate TX modulation rate (mod + zero-stuff + RRC + mix + PCM)."""
     from qpsk_tpu import ModemConfig, tx_init
     from qpsk_tpu.modem import tx_stream
@@ -41,6 +43,7 @@ def tx_throughput(channels: int | None = None, frames: int | None = None,
     channels = channels or (2048 if platform == "tpu" else 16)
     frames = frames or (16 if platform == "tpu" else 4)
     iters = iters or (20 if platform == "tpu" else 3)
+    inner = inner or (10 if platform == "tpu" else 2)  # see rx_throughput
     nsym = cfg.symbols_per_frame
     nsamples = channels * frames * cfg.frame_size
 
@@ -51,8 +54,13 @@ def tx_throughput(channels: int | None = None, frames: int | None = None,
 
     @jax.jit
     def step(st, b):
-        st, pcm = tx_stream(cfg, st, b, tx_offset_hz=50.0)
-        return st, jnp.sum(pcm.astype(jnp.int32))
+        def body(_, carry):
+            st, acc = carry
+            st, pcm = tx_stream(cfg, st, b, tx_offset_hz=50.0)
+            return st, acc + jnp.sum(pcm.astype(jnp.int32))
+        st, acc = jax.lax.fori_loop(
+            0, inner, body, (st, jnp.zeros((), jnp.int32)))
+        return st, acc
 
     st, chk = step(state, bits)
     float(np.asarray(chk))
@@ -62,13 +70,13 @@ def tx_throughput(channels: int | None = None, frames: int | None = None,
         st, chk = step(st, bits)
     float(np.asarray(chk))
     dt = time.perf_counter() - t0
-    sps = nsamples * iters / dt
+    sps = nsamples * inner * iters / dt
     return {"metric": "tx_mod_throughput", "value": round(sps, 1),
             "unit": "samples/s", "platform": platform, "channels": channels}
 
 
 def rx_throughput(channels: int | None = None, frames: int | None = None,
-                  iters: int | None = None) -> dict:
+                  iters: int | None = None, inner: int | None = None) -> dict:
     from qpsk_tpu import ModemConfig, rx_init
     from qpsk_tpu.modem import rx_stream
 
@@ -78,6 +86,14 @@ def rx_throughput(channels: int | None = None, frames: int | None = None,
     channels = channels or (2048 if platform == "tpu" else 16)
     frames = frames or (16 if platform == "tpu" else 4)
     iters = iters or (20 if platform == "tpu" else 3)
+    # inner: chained steps per dispatch.  A single relayed-executable launch
+    # costs ~1.8 ms on the tunneled backend (measured: a null x*2 jit) —
+    # comparable to the whole pipeline's device time — so per-call timing
+    # measures the tunnel, not the chip.  A lax.fori_loop over the step
+    # (state chained, bits checksummed into the carry so nothing dead-code
+    # eliminates) amortizes one dispatch over `inner` steps; this is the
+    # steady-state streaming rate a real deployment sees.
+    inner = inner or (10 if platform == "tpu" else 2)
     nsamples = channels * frames * cfg.frame_size
 
     key = jax.random.key(0)
@@ -93,8 +109,13 @@ def rx_throughput(channels: int | None = None, frames: int | None = None,
 
     @jax.jit
     def step(st, x):
-        st, out = rx_stream(cfg, st, x)
-        return st, jnp.sum(out.bits)
+        def body(_, carry):
+            st, acc = carry
+            st, out = rx_stream(cfg, st, x)
+            return st, acc + jnp.sum(out.bits)
+        st, acc = jax.lax.fori_loop(
+            0, inner, body, (st, jnp.zeros((), jnp.int32)))
+        return st, acc
 
     st, chk = step(state, pcm)
     float(np.asarray(chk))                      # compile + hard sync
@@ -106,7 +127,7 @@ def rx_throughput(channels: int | None = None, frames: int | None = None,
     float(np.asarray(chk))                      # hard sync on the chain
     dt = time.perf_counter() - t0
 
-    sps = nsamples * iters / dt
+    sps = nsamples * inner * iters / dt
     per_chip_target = 100e6 / 8.0
     return {
         "metric": "rx_demod_throughput",

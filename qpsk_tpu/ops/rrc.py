@@ -136,6 +136,33 @@ def fir_block(x: CF32, tail: CF32, tmat: jnp.ndarray, gain: float,
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
 
+    if precision == jax.lax.Precision.DEFAULT and block >= ntaps_m1:
+        # Fast path: split the banded matmul at the tail/block seam so the
+        # block operand is a *free* reshape of x instead of a gathered
+        # (width/block)-inflated window copy — the window materialization
+        # was ~25% of the front-end's HBM traffic.  Each output tile sums
+        # tail_part @ T[:ntaps-1] + block_part @ T[ntaps-1:], where
+        # tail_part is the previous block's last ntaps-1 samples (a slice),
+        # algebraically the same products as the windowed matmul grouped
+        # into two f32 partial sums (fast-mode tolerance only; parity mode
+        # keeps the single-accumulation windowed path below).
+        def one(plane, tl):
+            blocks = plane.reshape(plane.shape[:-1] + (nb, block))
+            prev = jnp.concatenate(
+                [tl[..., None, :], blocks[..., :-1, block - ntaps_m1:]],
+                axis=-2)                              # (..., nb, ntaps-1)
+            y = (jnp.matmul(prev, tmat[:ntaps_m1],
+                            preferred_element_type=jnp.float32,
+                            precision=precision)
+                 + jnp.matmul(blocks, tmat[ntaps_m1:],
+                              preferred_element_type=jnp.float32,
+                              precision=precision))
+            return y.reshape(plane.shape[:-1] + (n,))
+        g = jnp.float32(gain)
+        y = CF32(one(x.re, tail.re) * g, one(x.im, tail.im) * g)
+        new_tail = CF32(x.re[..., n - ntaps_m1:], x.im[..., n - ntaps_m1:])
+        return y, new_tail
+
     ext_re = jnp.concatenate([tail.re, x.re], axis=-1)
     ext_im = jnp.concatenate([tail.im, x.im], axis=-1)
     wr = _windows(ext_re, nb, block, width)  # (..., nb, width)
