@@ -43,7 +43,13 @@ def tx_throughput(channels: int | None = None, frames: int | None = None,
     channels = channels or (2048 if platform == "tpu" else 16)
     frames = frames or (16 if platform == "tpu" else 4)
     iters = iters or (20 if platform == "tpu" else 3)
-    inner = inner or (10 if platform == "tpu" else 2)  # see rx_throughput
+    # see rx_throughput for why inner>1 matters.  TX defaults to 1 on TPU:
+    # the fori_loop'd TX graph compiled for >30 min on the remote backend
+    # (even after replacing the zero-stuff scatter with concat+reshape),
+    # so the reported TX rate is a per-dispatch measure that understates
+    # the chip by the ~1.8 ms launch overhead.  Round-2 item: find the TX
+    # compile blow-up and raise this default.
+    inner = inner or (1 if platform == "tpu" else 2)
     nsym = cfg.symbols_per_frame
     nsamples = channels * frames * cfg.frame_size
 

@@ -104,9 +104,11 @@ def upsample_zero_stuff(symbols: CF32, cycles: int) -> CF32:
     phase 0 of each group, the remaining ``cycles - 1`` slots are zero."""
 
     def one(plane):
-        shape = plane.shape[:-1] + (plane.shape[-1], cycles)
-        out = jnp.zeros(shape, dtype=plane.dtype)
-        out = out.at[..., 0].set(plane)
+        # concat + reshape, not scatter: `zeros.at[..., 0].set(x)` lowered
+        # to a scatter that made the fori_loop'd TX graph compile for >30
+        # minutes on the remote TPU backend; this form is pure layout
+        zeros = jnp.zeros(plane.shape + (cycles - 1,), dtype=plane.dtype)
+        out = jnp.concatenate([plane[..., None], zeros], axis=-1)
         return out.reshape(plane.shape[:-1] + (plane.shape[-1] * cycles,))
 
     return CF32(one(symbols.re), one(symbols.im))
