@@ -63,7 +63,7 @@ def cmd_loopback(args) -> int:
     from qpsk_tpu.modem import rx_stream
     from qpsk_tpu.ops.cplx import CF32
     from qpsk_tpu.packet import assemble_packet
-    from qpsk_tpu.sync import (extract_packets_soft_tracked,
+    from qpsk_tpu.sync import (default_max_lag, extract_packets_soft_tracked,
                                extract_packets_tracked, find_sync)
 
     cfg = _cfg(args)
@@ -98,7 +98,7 @@ def cmd_loopback(args) -> int:
     skip = min(8, args.frames // 4)
     bits = out.bits.ravel()
     sync = find_sync(pcfg, bits[skip * pcfg.frame_bits:],
-                     max_lag=600, probe_frames=4)
+                     max_lag=default_max_lag(pcfg), probe_frames=4)
     navail = ((bits.size - skip * pcfg.frame_bits - int(sync.bit_lag))
               // pcfg.frame_bits)
     if args.fec and not cfg.differential:
@@ -185,7 +185,8 @@ def cmd_rx(args) -> int:
     from qpsk_tpu import rx_init
     from qpsk_tpu.metrics import per
     from qpsk_tpu.modem import rx_stream
-    from qpsk_tpu.sync import extract_packets_tracked, find_sync
+    from qpsk_tpu.sync import (default_max_lag, extract_packets_tracked,
+                               find_sync)
 
     cfg = _cfg(args)
     pcfg = _pcfg(args)
@@ -212,7 +213,8 @@ def cmd_rx(args) -> int:
     _, out = rx_stream(cfg, rx_init(cfg), pcm)
     bits = out.bits.ravel()
     skip = min(8, nframes // 4) * pcfg.frame_bits
-    sync = find_sync(pcfg, bits[skip:], max_lag=600, probe_frames=4)
+    sync = find_sync(pcfg, bits[skip:], max_lag=default_max_lag(pcfg),
+                     probe_frames=4)
     navail = (bits.size - skip - int(sync.bit_lag)) // pcfg.frame_bits
     rx = extract_packets_tracked(pcfg, bits[skip:], sync, navail)
     print(json.dumps({
@@ -253,7 +255,14 @@ def main(argv=None) -> int:
         from qpsk_tpu.eval import per_vs_snr
         from qpsk_tpu.packet import PacketConfig
         cfg = _cfg(a)
-        pcfg = PacketConfig(payload_bytes=(2 * cfg.symbols_per_frame - 16) // 8)
+        # size the payload so one packet ~ one modem frame: uncoded frames
+        # fill it exactly (payload + CRC16); coded frames halve the payload
+        # for the rate-1/2 code (+ 6 tail bits, so slightly under)
+        if a.fec:
+            pb = (cfg.symbols_per_frame - 16 - 6) // 8
+        else:
+            pb = (2 * cfg.symbols_per_frame - 16) // 8
+        pcfg = PacketConfig(payload_bytes=pb, fec=a.fec)
         try:
             snrs = [float(s) for s in a.snr_db.split(",")]
         except ValueError:

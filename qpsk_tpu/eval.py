@@ -21,7 +21,7 @@ from qpsk_tpu.ops.cplx import CF32
 from qpsk_tpu.ops.modmap import demod_soft
 from qpsk_tpu.packet import PacketConfig, assemble_packet
 from qpsk_tpu.state import rx_init, tx_init
-from qpsk_tpu.sync import (extract_packets_soft_tracked,
+from qpsk_tpu.sync import (default_max_lag, extract_packets_soft_tracked,
                            extract_packets_tracked, find_sync)
 
 
@@ -67,35 +67,43 @@ def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
     det = np.asarray(jnp.mean(out.freq_hz[:, -10:], axis=-1))
 
     bits = np.asarray(out.bits).reshape(ns, -1)
+    # LLRs of the absolute demod symbols align with the hard bit stream only
+    # in coherent (non-differential) mode; differential bits come from the
+    # turn-difference decode, so coded DQPSK falls back to hard-input
+    # Viterbi inside disassemble_packet (mirrors StreamDemodulator._use_soft)
+    use_soft = pcfg.fec and not cfg.differential
     llrs = (np.asarray(demod_soft(CF32(out.symbols.re.reshape(ns, -1),
                                        out.symbols.im.reshape(ns, -1))))
-            if pcfg.fec else None)
+            if use_soft else None)
     want = np.asarray(payload)
     results = []
     skip_bits = skip_frames * mframe_bits  # modem frames, not packets
     for i in range(ns):
         stream = jnp.asarray(bits[i, skip_bits:])
-        sync = find_sync(pcfg, stream, max_lag=600, probe_frames=4)
+        sync = find_sync(pcfg, stream, max_lag=default_max_lag(pcfg),
+                         probe_frames=4)
         navail = (stream.shape[0] - int(sync.bit_lag)) // pcfg.frame_bits
         rec = {"snr_db": float(snr[i]), "evm_rms": float(evm_rms[i]),
                "detected_hz": float(det[i]), "sync_score": int(sync.score),
                "packets": 0, "per": 1.0, "ber": 0.5}
         if int(sync.score) > 0 and navail > 0:
-            if pcfg.fec:
+            if use_soft:
                 rx = extract_packets_soft_tracked(
                     pcfg, jnp.asarray(llrs[i, skip_bits:]), sync, navail)
             else:
                 rx = extract_packets_tracked(pcfg, stream, sync, navail)
             ok = np.asarray(rx.crc_ok)
             got = np.asarray(rx.payload_bits)
-            # anchor stream offset using the first CRC-ok packet
+            # anchor the stream offset on CRC-ok packets: try each until one
+            # matches a TX payload (a lone CRC collision or a mid-probe slip
+            # must not poison the whole SNR point)
+            want_index = {w.tobytes(): k for k, w in enumerate(want)}
             k0 = None
-            if ok.any():
-                i0 = int(np.argmax(ok))
-                for k in range(want.shape[0]):
-                    if np.array_equal(got[i0], want[k]):
-                        k0 = k - i0
-                        break
+            for i0 in np.flatnonzero(ok):
+                k = want_index.get(got[int(i0)].tobytes())
+                if k is not None:
+                    k0 = k - int(i0)
+                    break
             errs, nbits, npk, nok = 0, 0, 0, 0
             for j in range(navail):
                 if k0 is None or not (0 <= j + k0 < want.shape[0]):

@@ -158,5 +158,12 @@ def native_scramble_bits(bits: np.ndarray, seed: int = 0x4A80) -> np.ndarray:
 def native_interleave_bits(bits: np.ndarray, deinterleave: bool = False
                            ) -> np.ndarray:
     out = np.ascontiguousarray(bits, dtype=np.uint8).copy()
-    load().interleave_bits_native(_u8p(out), out.size, int(deinterleave))
+    rc = load().interleave_bits_native(_u8p(out), out.size, int(deinterleave))
+    if rc == -2:
+        raise ValueError(
+            f"interleave of {out.size} bits is not bijective: the saturated "
+            f"prime divides nbits (reference defect, interleave.c:52-59) — "
+            f"pad or resize the frame")
+    if rc != 0:
+        raise MemoryError(f"interleave_bits_native failed (rc={rc})")
     return out

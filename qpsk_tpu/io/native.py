@@ -67,6 +67,7 @@ def load() -> ctypes.CDLL:
         lib.scramble_keystream.argtypes = [c.c_uint16, u8p, c.c_int64]
         lib.scramble_bits_native.argtypes = [c.c_uint16, u8p, c.c_int64]
         lib.interleave_permutation_native.argtypes = [c.c_int64, i32p]
+        lib.interleave_bits_native.restype = c.c_int
         lib.interleave_bits_native.argtypes = [u8p, c.c_int64, c.c_int]
 
         _lib = lib

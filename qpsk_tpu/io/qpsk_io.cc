@@ -272,13 +272,24 @@ void interleave_permutation_native(int64_t nbits, int32_t *perm) {
     for (int64_t i = 0; i < nbits; i++) perm[(b * i) % nbits] = (int32_t)i;
 }
 
-void interleave_bits_native(uint8_t *bits, int64_t nbits, int deinter) {
+// Returns 0 on success, -1 on allocation failure, -2 when the saturated
+// prime divides nbits (gcd(b, nbits) != 1): the map i -> (b*i) mod nbits is
+// then non-invertible and would silently corrupt data — the exact reference
+// defect (interleave.c:52-59) the Python twin (_check_bijective) refuses.
+int interleave_bits_native(uint8_t *bits, int64_t nbits, int deinter) {
+    int64_t imax = (int64_t)(sizeof(kPrimes) / sizeof(kPrimes[0]));
+    int64_t index = 1;
+    while (index < imax && kPrimes[index] < nbits) index++;
+    int64_t b = kPrimes[index - 1];
+    int64_t x = b, y = nbits;  // gcd(b, nbits)
+    while (y) { int64_t t = x % y; x = y; y = t; }
+    if (x != 1) return -2;
     int32_t *perm = (int32_t *)std::malloc(sizeof(int32_t) * nbits);
     uint8_t *tmp = (uint8_t *)std::malloc(nbits);
     if (!perm || !tmp) {
         std::free(perm);
         std::free(tmp);
-        return;
+        return -1;
     }
     interleave_permutation_native(nbits, perm);
     if (deinter) {
@@ -289,6 +300,7 @@ void interleave_bits_native(uint8_t *bits, int64_t nbits, int deinter) {
     std::memcpy(bits, tmp, nbits);
     std::free(perm);
     std::free(tmp);
+    return 0;
 }
 
 }  // extern "C"

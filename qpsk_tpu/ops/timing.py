@@ -164,7 +164,17 @@ def estimate_and_decimate(frames: CF32, cycles: int, mode: str):
         # to thread (block-parallel / re-acquisition paths): it degrades to
         # the stateless feedforward fractional estimate, which is what those
         # paths' per-block independence requires.  The stateful loop lives in
-        # timing_track / timing_track_step (modem rx paths).
+        # timing_track / timing_track_step (modem rx paths).  Surface the
+        # degradation — a user selecting "tracking" for a clock-ppm-hostile
+        # link must not silently lose the rate loop.
+        if mode == "tracking":
+            import warnings
+            warnings.warn(
+                "timing_mode='tracking' has no cross-block carry on this "
+                "path (block-/time-parallel or per-block re-acquisition): "
+                "degrading to the feedforward 'fractional' estimator, which "
+                "does not follow sample-clock *rate* offsets",
+                RuntimeWarning, stacklevel=3)
         tau = timing_fractional(frames, cycles)
         picks = decimate_fractional(frames, tau, cycles)
         index = jnp.round(tau).astype(jnp.int32)

@@ -35,8 +35,10 @@ Behavior:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,7 +50,8 @@ from qpsk_tpu.ops.modmap import demod_soft
 from qpsk_tpu.packet.frame import (PacketConfig, disassemble_packet,
                                    disassemble_packet_soft)
 from qpsk_tpu.state import rx_init
-from qpsk_tpu.sync import SyncResult, find_sync, rotate_dibits, rotate_soft
+from qpsk_tpu.sync import (SyncResult, default_max_lag, find_sync,
+                           rotate_dibits, rotate_soft)
 
 
 class Packet(NamedTuple):
@@ -72,13 +75,21 @@ class StreamDemodulator:
 
     def __init__(self, cfg: ModemConfig, pcfg: PacketConfig,
                  sync_skip_frames: int = 8, probe_frames: int = 4,
-                 resync_after: int = 8):
+                 resync_after: int = 8, bucket_frames: int = 8):
         self.cfg = cfg
         self.pcfg = pcfg
         self.sync_skip = sync_skip_frames * pcfg.frame_bits
         self.probe_frames = probe_frames
         self.resync_after = resync_after
+        self.bucket_frames = bucket_frames
         self.counters = LinkCounters()
+        # Exactly TWO static rx_stream shapes ever compile, regardless of
+        # the chunk sizes pushed: (bucket_frames, frame) for steady-state
+        # draining and (1, frame) for the flush() remainder.  On the real
+        # TPU backend every new shape costs a 1-4 minute remote compile
+        # (CLAUDE.md), so jitting on whatever nframes arrives would make
+        # arbitrary-chunk push streams unusable.
+        self._rx_jit = jax.jit(functools.partial(rx_stream, cfg))
 
         self._pcm_buf = np.zeros(0, np.int16)
         self._bit_buf = np.zeros(0, np.int32)
@@ -99,16 +110,22 @@ class StreamDemodulator:
     def push(self, pcm: np.ndarray) -> list[Packet]:
         """Feed int16 PCM of any length; returns packets decoded so far.
         Eager: buffering and demodulation happen even if the returned list
-        is ignored."""
+        is ignored.  Frames demodulate in fixed ``bucket_frames`` buckets
+        (one static jit shape); a sub-bucket remainder stays buffered until
+        more samples arrive or ``flush()``."""
         pcm = np.asarray(pcm, np.int16).ravel()
         self._pcm_buf = np.concatenate([self._pcm_buf, pcm])
         fsz = self.cfg.frame_size
-        nframes = self._pcm_buf.size // fsz
-        if nframes == 0:
-            return []
-        chunk = self._pcm_buf[:nframes * fsz].reshape(nframes, fsz)
-        self._pcm_buf = self._pcm_buf[nframes * fsz:]
+        bucket = self.bucket_frames * fsz
+        while self._pcm_buf.size >= bucket:
+            self._demod(self._pcm_buf[:bucket].reshape(self.bucket_frames,
+                                                       fsz))
+            self._pcm_buf = self._pcm_buf[bucket:]
+        return self._drain()
 
+    def _demod(self, chunk: np.ndarray) -> None:
+        """Run one fixed-shape rx_stream pass and buffer its bits/LLRs."""
+        nframes = chunk.shape[0]
         if self._state is None:
             acq = 0.0
             if self.cfg.acquisition == "fft":
@@ -119,8 +136,7 @@ class StreamDemodulator:
                     pass  # chunk too short: cold-start, acquire later
             self._state = rx_init(self.cfg, acq_freq=acq)
 
-        self._state, out = rx_stream(self.cfg, self._state,
-                                     jnp.asarray(chunk))
+        self._state, out = self._rx_jit(self._state, jnp.asarray(chunk))
         self.counters.frames += nframes
         self.counters.detected_offset_hz = float(np.mean(
             np.asarray(out.freq_hz)[-min(10, nframes):]))
@@ -131,12 +147,11 @@ class StreamDemodulator:
                                    out.symbols.im.reshape(-1)))
             self._llr_buf = np.concatenate(
                 [self._llr_buf, np.asarray(llrs).ravel()])
-        return self._drain()
 
     # ------------------------------------------------------------------
     def _try_sync(self) -> bool:
         fb = self.pcfg.frame_bits
-        window = 600
+        window = default_max_lag(self.pcfg)
         probe_bits = self.probe_frames * fb + 64
         while True:
             if self._bit_buf.size - self.sync_skip < probe_bits:
@@ -230,5 +245,11 @@ class StreamDemodulator:
                 return out
 
     def flush(self) -> list[Packet]:
-        """Decode whatever whole packets remain buffered."""
+        """Demodulate any buffered whole frames (the sub-bucket remainder,
+        one frame per pass — the second and last static shape), then decode
+        whatever whole packets remain."""
+        fsz = self.cfg.frame_size
+        while self._pcm_buf.size >= fsz:
+            self._demod(self._pcm_buf[:fsz].reshape(1, fsz))
+            self._pcm_buf = self._pcm_buf[fsz:]
         return self._drain()

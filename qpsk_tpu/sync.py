@@ -41,6 +41,15 @@ _ROT_POW = np.stack([np.arange(4, dtype=np.int32),
                      _ROT_STEP[_ROT_STEP][_ROT_STEP]])
 
 
+def default_max_lag(pcfg: PacketConfig) -> int:
+    """Lag window that always covers a full packet: the systematic RX delay
+    is bounded, but the first aligned packet boundary can sit up to one full
+    frame into the stream — a hard-coded window smaller than ``frame_bits``
+    (large / coded payloads) would park the true lag outside the search and
+    fail sync silently."""
+    return max(2 * pcfg.frame_bits, 600)
+
+
 class SyncResult(NamedTuple):
     rotation: jnp.ndarray   # int32 scalar, 90° steps
     bit_lag: jnp.ndarray    # int32 scalar, bits into the stream

@@ -4,8 +4,14 @@ The reference has no checkpointing, but all its cross-frame state is already
 explicit globals (filter delay lines qpsk.c:36-37, NCO phasors qpsk.c:45-51,
 Costas phase/freq costas_loop.c:13-23, scrambler registers
 bit-scramble.c:41-42).  Here that state is a pytree (qpsk_tpu.state), so
-checkpointing is flattening to named arrays.  np.savez keeps it dependency
--free; orbax is used when available for async multi-host checkpoints.
+checkpointing is flattening to named arrays in a dependency-free ``.npz``.
+
+Sharded (multi-device) state round-trips: ``save_state`` gathers each leaf
+to host, and ``load_state`` re-places every leaf with the sharding of the
+corresponding leaf in ``like`` — so a pjit'd receiver resumes on the same
+mesh layout it checkpointed from.  The serialized treedef repr is verified
+on load (structure drift between writer and reader raises instead of
+silently mis-assigning leaves).
 """
 
 from __future__ import annotations
@@ -15,7 +21,8 @@ import numpy as np
 
 
 def save_state(path: str, state) -> None:
-    """Serialize any modem-state pytree to an .npz file."""
+    """Serialize any modem-state pytree to an .npz file.  Device (and
+    sharded) leaves are gathered to host."""
     leaves, treedef = jax.tree.flatten(state)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
     np.savez(path, treedef=np.frombuffer(
@@ -23,10 +30,32 @@ def save_state(path: str, state) -> None:
 
 
 def load_state(path: str, like):
-    """Restore a pytree saved by ``save_state``; ``like`` supplies the
-    structure (treedefs aren't portably serializable)."""
+    """Restore a pytree saved by ``save_state``.
+
+    ``like`` supplies the structure (treedefs aren't portably serializable)
+    and the placement: each restored leaf adopts the sharding of the
+    corresponding ``like`` leaf when that leaf is a committed jax Array, so
+    sharded state reloads onto the same mesh layout.  Raises ``ValueError``
+    if the saved structure does not match ``like``.
+    """
     data = np.load(path)
     leaves_like, treedef = jax.tree.flatten(like)
-    leaves = [jax.numpy.asarray(data[f"leaf_{i}"])
-              for i in range(len(leaves_like))]
+    saved_def = bytes(data["treedef"]).decode()
+    if saved_def != repr(treedef):
+        raise ValueError(
+            f"checkpoint structure mismatch:\n  saved: {saved_def}\n"
+            f"  expected: {treedef!r}")
+    nsaved = sum(1 for k in data.files if k.startswith("leaf_"))
+    if nsaved != len(leaves_like):
+        raise ValueError(f"checkpoint holds {nsaved} leaves, "
+                         f"'like' has {len(leaves_like)}")
+
+    def place(i, ref):
+        arr = data[f"leaf_{i}"]
+        sharding = getattr(ref, "sharding", None)
+        if isinstance(ref, jax.Array) and sharding is not None:
+            return jax.device_put(arr.astype(ref.dtype), sharding)
+        return jax.numpy.asarray(arr)
+
+    leaves = [place(i, ref) for i, ref in enumerate(leaves_like)]
     return jax.tree.unflatten(treedef, leaves)
