@@ -32,6 +32,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync_scalar(x) -> float:
+    """Force completion via a host readback of a device scalar — the only
+    reliable fence on relayed backends (see module docstring)."""
+    return float(np.asarray(x))
+
+
+def _time_chained(step, state0, x, iters: int) -> float:
+    """Amortized wall time of ``iters`` chained step() dispatches: one
+    warmup (compile + hard sync), then the timed chain with a single
+    scalar readback at the end."""
+    _, chk = step(state0, x)
+    _sync_scalar(chk)
+    t0 = time.perf_counter()
+    st = state0
+    for _ in range(iters):
+        st, chk = step(st, x)
+    _sync_scalar(chk)
+    return time.perf_counter() - t0
+
+
 def tx_throughput(channels: int | None = None, frames: int | None = None,
                   iters: int | None = None, inner: int | None = None) -> dict:
     """Aggregate TX modulation rate (mod + zero-stuff + RRC + mix + PCM)."""
@@ -43,13 +63,13 @@ def tx_throughput(channels: int | None = None, frames: int | None = None,
     channels = channels or (2048 if platform == "tpu" else 16)
     frames = frames or (16 if platform == "tpu" else 4)
     iters = iters or (20 if platform == "tpu" else 3)
-    # see rx_throughput for why inner>1 matters.  TX defaults to 1 on TPU:
-    # the fori_loop'd TX graph compiled for >30 min on the remote backend
-    # (even after replacing the zero-stuff scatter with concat+reshape),
-    # so the reported TX rate is a per-dispatch measure that understates
-    # the chip by the ~1.8 ms launch overhead.  Round-2 item: find the TX
-    # compile blow-up and raise this default.
-    inner = inner or (1 if platform == "tpu" else 2)
+    # see rx_throughput for why inner>1 matters.  The round-1 TX compile
+    # blow-up (>30 min) was the 4-entry constellation *gather* in
+    # bits_to_symbols lowering pathologically inside the fori_loop; with
+    # the gather-free closed form (ops/modmap.py) the inner=10 graph
+    # compiles in seconds and TX gets the same dispatch-amortized
+    # discipline as RX (measured 17.2 GS/s on v5e, 2026-08-17).
+    inner = inner or (10 if platform == "tpu" else 2)
     nsym = cfg.symbols_per_frame
     nsamples = channels * frames * cfg.frame_size
 
@@ -82,11 +102,12 @@ def tx_throughput(channels: int | None = None, frames: int | None = None,
 
 
 def rx_throughput(channels: int | None = None, frames: int | None = None,
-                  iters: int | None = None, inner: int | None = None) -> dict:
+                  iters: int | None = None, inner: int | None = None,
+                  cfg=None) -> dict:
     from qpsk_tpu import ModemConfig, rx_init
     from qpsk_tpu.modem import rx_stream
 
-    cfg = ModemConfig()
+    cfg = cfg or ModemConfig()
     ndev = len(jax.devices())
     platform = jax.devices()[0].platform
     channels = channels or (2048 if platform == "tpu" else 16)
@@ -144,3 +165,227 @@ def rx_throughput(channels: int | None = None, frames: int | None = None,
         "devices": ndev,
         "channels": channels,
     }
+
+
+def frontend_throughput(impl: str = "pallas", channels: int | None = None,
+                        frames: int | None = None, iters: int | None = None,
+                        inner: int | None = None) -> dict:
+    """Front-end-only rate (int16 -> mix -> FIR -> timing -> decimate) for
+    one lowering, with the measured-vs-roofline record attached
+    (utils/roofline.py).  ``impl`` = "pallas" (fused kernel) or "xla"."""
+    import dataclasses as _dc
+
+    from qpsk_tpu import ModemConfig, rx_init
+    from qpsk_tpu.modem import _pick_block, _tmat_for
+    from qpsk_tpu.ops import nco, rrc as rrc_ops, timing as timing_ops
+    from qpsk_tpu.ops.cplx import CF32
+    from qpsk_tpu.utils.roofline import frontend_report
+
+    cfg = ModemConfig(frontend_impl=impl)
+    platform = jax.devices()[0].platform
+    channels = channels or (2048 if platform == "tpu" else 16)
+    frames = frames or (16 if platform == "tpu" else 4)
+    iters = iters or (20 if platform == "tpu" else 3)
+    inner = inner or (10 if platform == "tpu" else 2)
+    nsamples = channels * frames * cfg.frame_size
+
+    pcm = (jax.random.normal(jax.random.key(0),
+                             (channels, frames, cfg.frame_size))
+           * 8000.0).astype(jnp.int16)
+    st = rx_init(cfg, batch_shape=(channels,))
+    state0 = (st.nco_phase, st.fir_tail)
+
+    def frontend(phase, tail, x):
+        if impl == "pallas":
+            from qpsk_tpu.ops.pallas.frontend_kernel import rx_frontend_fused
+            picks, idx, phase, tail = rx_frontend_fused(cfg, x, phase, tail)
+        else:
+            c, nf, fsz = x.shape
+            n = nf * fsz
+            flat = x.reshape(c, n).astype(jnp.float32) / jnp.float32(
+                cfg.pcm_scale)
+            z = CF32(flat, jnp.zeros_like(flat))
+            z, phase = nco.mix(z, phase, -cfg.omega_center, "fast")
+            blk = _pick_block(fsz)
+            z, tail = rrc_ops.fir_block(
+                z, tail, jnp.asarray(_tmat_for(cfg, blk)), cfg.gain, blk,
+                precision=jax.lax.Precision.DEFAULT)
+            fr = CF32(z.re.reshape(c, nf, fsz), z.im.reshape(c, nf, fsz))
+            picks, idx = timing_ops.estimate_and_decimate(fr, cfg.cycles,
+                                                          "power")
+        return phase, tail, picks, idx
+
+    @jax.jit
+    def step(carry, x):
+        def body(_, carry):
+            (phase, tail), acc = carry
+            phase, tail, picks, idx = frontend(phase, tail, x)
+            return (phase, tail), acc + jnp.sum(picks.re) + jnp.sum(
+                idx.astype(jnp.float32))
+        return jax.lax.fori_loop(0, inner, body,
+                                 (carry, jnp.zeros((), jnp.float32)))
+
+    dt = _time_chained(step, state0, pcm, iters)
+    per_pass = dt / (inner * iters)
+    rec = {"metric": f"frontend_throughput_{impl}",
+           "value": round(nsamples * inner * iters / dt, 1),
+           "unit": "samples/s", "platform": platform, "channels": channels}
+    rec["roofline"] = frontend_report(cfg, channels, frames, per_pass, impl)
+    return rec
+
+
+def single_stream_serial_throughput(frames: int | None = None,
+                                    iters: int | None = None,
+                                    inner: int | None = None) -> dict:
+    """Serial single-stream demod rate: ONE channel, the Costas recurrence
+    scanned symbol by symbol — the rate a lone stream gets without
+    block-parallelism (the serialization SURVEY.md §7 names hard-part #1;
+    cf. the per-symbol loop qpsk.c:196-212)."""
+    from qpsk_tpu import ModemConfig, rx_init
+    from qpsk_tpu.modem import rx_stream
+
+    cfg = ModemConfig()
+    platform = jax.devices()[0].platform
+    frames = frames or (64 if platform == "tpu" else 8)
+    iters = iters or (5 if platform == "tpu" else 2)
+    inner = inner or (4 if platform == "tpu" else 2)
+    nsamples = frames * cfg.frame_size
+
+    pcm = (jax.random.normal(jax.random.key(0), (frames, cfg.frame_size))
+           * 8000.0).astype(jnp.int16)
+    state = rx_init(cfg)
+
+    @jax.jit
+    def step(st, x):
+        def body(_, carry):
+            st, acc = carry
+            st, out = rx_stream(cfg, st, x)
+            return st, acc + jnp.sum(out.bits)
+        return jax.lax.fori_loop(0, inner, body,
+                                 (st, jnp.zeros((), jnp.int32)))
+
+    dt = _time_chained(step, state, pcm, iters)
+    sps = nsamples * inner * iters / dt
+    return {"metric": "single_stream_serial_throughput",
+            "value": round(sps, 1), "unit": "samples/s",
+            "platform": platform, "frames": frames}
+
+
+def single_stream_blockparallel_throughput(frames: int | None = None,
+                                           nblocks: int | None = None,
+                                           iters: int | None = None,
+                                           inner: int | None = None) -> dict:
+    """Block-parallel single-stream rate: the Costas loop split into
+    re-acquiring overlap blocks riding the batch axis
+    (parallel/blocks.py) — the single-stream serialization breaker."""
+    from qpsk_tpu import ModemConfig
+    from qpsk_tpu.parallel.blocks import rx_stream_blockparallel
+
+    cfg = ModemConfig()
+    platform = jax.devices()[0].platform
+    frames = frames or (512 if platform == "tpu" else 16)
+    nblocks = nblocks or (128 if platform == "tpu" else 4)
+    iters = iters or (5 if platform == "tpu" else 2)
+    inner = inner or (4 if platform == "tpu" else 2)
+    nsamples = frames * cfg.frame_size
+
+    pcm = (jax.random.normal(jax.random.key(0), (frames, cfg.frame_size))
+           * 8000.0).astype(jnp.int16)
+
+    @jax.jit
+    def chained(acc, x):
+        def body(_, a):
+            _, bits, _ = rx_stream_blockparallel(cfg, x, nblocks)
+            return a + jnp.sum(bits)
+        acc = jax.lax.fori_loop(0, inner, body, acc)
+        return acc, acc
+
+    dt = _time_chained(chained, jnp.zeros((), jnp.int32), pcm, iters)
+    sps = nsamples * inner * iters / dt
+    return {"metric": "single_stream_blockparallel_throughput",
+            "value": round(sps, 1), "unit": "samples/s",
+            "platform": platform, "frames": frames, "nblocks": nblocks}
+
+
+def scaling_efficiency(device_counts=None, channels_per_device: int = 8,
+                       frames: int = 8, iters: int = 3,
+                       inner: int = 2) -> list[dict]:
+    """Weak-scaling sweep over the mesh (BASELINE.md ≥80 % target).
+
+    Two parallel axes, each measured at 1..N devices with the per-device
+    work held constant (weak scaling: perfect = flat time, efficiency =
+    T1/TN):
+
+    * ``dp`` — independent channels sharded over the mesh (config #4);
+    * ``sp`` — one long stream in time blocks with the ppermute FIR-halo
+      exchange (config #5, parallel/stream.py).
+
+    Returns one record per (mode, devices); the same harness runs
+    unchanged on a real multi-chip mesh.  CPU-mesh numbers rehearse the
+    procedure and catch sharding regressions, not silicon truth.
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from qpsk_tpu import ModemConfig, rx_init
+    from qpsk_tpu.modem import rx_stream
+    from qpsk_tpu.parallel.stream import rx_stream_timeparallel
+
+    cfg = ModemConfig()
+    devs = jax.devices()
+    platform = devs[0].platform
+    counts = list(device_counts or
+                  [n for n in (1, 2, 4, 8) if n <= len(devs)])
+    records = []
+
+    # --- dp: weak scaling over channels ---
+    for n in counts:
+        mesh = Mesh(np.asarray(devs[:n]), ("dp",))
+        sh = NamedSharding(mesh, P("dp"))
+        channels = channels_per_device * n
+        pcm = (jax.random.normal(jax.random.key(0),
+                                 (channels, frames, cfg.frame_size))
+               * 8000.0).astype(jnp.int16)
+        pcm = jax.device_put(pcm, sh)
+        state = jax.device_put(rx_init(cfg, batch_shape=(channels,)), sh)
+
+        @jax.jit
+        def step(st, x):
+            def body(_, carry):
+                st, acc = carry
+                st, out = rx_stream(cfg, st, x)
+                return st, acc + jnp.sum(out.bits)
+            return jax.lax.fori_loop(0, inner, body,
+                                     (st, jnp.zeros((), jnp.int32)))
+
+        dt = _time_chained(step, state, pcm, iters)
+        nsamples = channels * frames * cfg.frame_size * inner * iters
+        records.append({"mode": "dp", "devices": n, "channels": channels,
+                        "time_s": round(dt, 4),
+                        "throughput_sps": round(nsamples / dt, 1)})
+
+    # --- sp: weak scaling over stream length ---
+    for n in counts:
+        mesh = Mesh(np.asarray(devs[:n]), ("sp",))
+        nsamp = n * frames * cfg.frame_size
+        pcm = (jax.random.normal(jax.random.key(1), (nsamp,))
+               * 8000.0).astype(jnp.int16)
+
+        @jax.jit
+        def step(acc, x):
+            _, bits, _ = rx_stream_timeparallel(cfg, x, mesh)
+            acc = acc + jnp.sum(bits)
+            return acc, acc
+
+        dt = _time_chained(step, jnp.zeros((), jnp.int32), pcm, iters)
+        records.append({"mode": "sp", "devices": n, "samples": nsamp,
+                        "time_s": round(dt, 4),
+                        "throughput_sps": round(nsamp * iters / dt, 1)})
+
+    # weak-scaling efficiency vs the 1-device time of the same mode
+    t1 = {m: next(r["time_s"] for r in records
+                  if r["mode"] == m and r["devices"] == counts[0])
+          for m in ("dp", "sp")}
+    for r in records:
+        r["efficiency"] = round(t1[r["mode"]] / r["time_s"], 3)
+        r["platform"] = platform
+    return records

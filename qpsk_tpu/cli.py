@@ -281,11 +281,30 @@ def main(argv=None) -> int:
     sw.set_defaults(fn=_sweep)
 
     def _bench(a) -> int:
-        from qpsk_tpu.benchmarks import rx_throughput
-        print(json.dumps(rx_throughput()))
+        from qpsk_tpu import benchmarks as B
+        suites = {
+            "rx": B.rx_throughput,
+            "tx": B.tx_throughput,
+            "serial": B.single_stream_serial_throughput,
+            "blockparallel": B.single_stream_blockparallel_throughput,
+        }
+        if a.suite == "scaling":
+            for rec in B.scaling_efficiency():
+                print(json.dumps(rec))
+            return 0
+        if a.suite == "all":
+            for fn in suites.values():
+                print(json.dumps(fn()))
+            return 0
+        print(json.dumps(suites[a.suite]()))
         return 0
 
     be = sub.add_parser("bench", help="throughput benchmark")
+    be.add_argument("--suite", type=str, default="rx",
+                    choices=["rx", "tx", "serial", "blockparallel",
+                             "scaling", "all"],
+                    help="which benchmark to run (all = every throughput "
+                         "suite; scaling = weak-scaling efficiency sweep)")
     be.set_defaults(fn=_bench)
 
     args = ap.parse_args(argv)

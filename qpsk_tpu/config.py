@@ -71,6 +71,12 @@ class ModemConfig:
     # batch shape allows (channels % 128 == 0), else the lax.scan lowering;
     # "scan" / "pallas" force one.  Both are bit-identical.
     costas_impl: str = "auto"
+    # frontend_impl: "auto" picks the fused Pallas front-end kernel
+    # (int16 -> mix -> RRC FIR -> timing -> decimate in ONE HBM pass,
+    # ops/pallas/frontend_kernel.py) on TPU when the shape/mode allows
+    # (power timing, fast FIR, channel batch); "xla" forces the staged
+    # lowering; "pallas" forces the kernel (tests use interpret mode).
+    frontend_impl: str = "auto"
     # fir_precision: "fast" = one bf16 MXU pass (~0.3% output error, far
     # below any channel noise; ~1.8x faster); "exact" = HIGHEST-precision
     # f32 (parity-grade, required by the golden-vector tests).
@@ -100,6 +106,8 @@ class ModemConfig:
             raise ValueError(f"unknown slicer {self.slicer!r}")
         if self.costas_impl not in ("auto", "scan", "pallas"):
             raise ValueError(f"unknown costas_impl {self.costas_impl!r}")
+        if self.frontend_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown frontend_impl {self.frontend_impl!r}")
         if self.fir_precision not in ("fast", "exact"):
             raise ValueError(f"unknown fir_precision {self.fir_precision!r}")
         if self.acquisition not in ("none", "fft"):

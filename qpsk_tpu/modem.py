@@ -258,31 +258,48 @@ def _rx_stream_scan(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     return state, outs
 
 
+def _use_fused_frontend(cfg: ModemConfig, batch, fsz: int) -> bool:
+    from qpsk_tpu.ops.pallas.frontend_kernel import frontend_supported
+    if cfg.frontend_impl == "pallas":
+        return True
+    return (cfg.frontend_impl == "auto"
+            and jax.default_backend() == "tpu"
+            and frontend_supported(cfg, batch, fsz))
+
+
 def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     batch = pcm.shape[:-2]
     nframes, fsz = pcm.shape[-2], pcm.shape[-1]
     nsf = cfg.symbols_per_frame
     n = nframes * fsz
 
-    flat = pcm.reshape(batch + (n,)).astype(jnp.float32) / jnp.float32(cfg.pcm_scale)
-    x = CF32(flat, jnp.zeros_like(flat))
-    x, nco_phase = nco.mix(x, state.nco_phase, -cfg.omega_center, "fast")
-    block = _pick_block(fsz)
-    tmat = jnp.asarray(_tmat_for(cfg, block))
-    x, fir_tail = rrc_ops.fir_block(x, state.fir_tail, tmat, cfg.gain, block,
-                                    precision=_prec(cfg))
-
-    frames = CF32(x.re.reshape(batch + (nframes, fsz)),
-                  x.im.reshape(batch + (nframes, fsz)))
     timing_state = state.timing
-    if cfg.timing_mode == "tracking":
-        tau, timing_state = timing_ops.timing_track(frames, cfg.cycles,
-                                                    timing_state)
-        picks = timing_ops.decimate_fractional(frames, tau, cfg.cycles)
-        index = jnp.round(tau).astype(jnp.int32)
+    if _use_fused_frontend(cfg, batch, fsz):
+        # ONE Pallas pass: int16 -> mix -> FIR -> timing -> decimate
+        # (ops/pallas/frontend_kernel.py) — same state contract as below
+        from qpsk_tpu.ops.pallas.frontend_kernel import rx_frontend_fused
+        picks, index, nco_phase, fir_tail = rx_frontend_fused(
+            cfg, pcm, state.nco_phase, state.fir_tail)
     else:
-        picks, index = timing_ops.estimate_and_decimate(frames, cfg.cycles,
-                                                        cfg.timing_mode)
+        flat = pcm.reshape(batch + (n,)).astype(jnp.float32) / jnp.float32(
+            cfg.pcm_scale)
+        x = CF32(flat, jnp.zeros_like(flat))
+        x, nco_phase = nco.mix(x, state.nco_phase, -cfg.omega_center, "fast")
+        block = _pick_block(fsz)
+        tmat = jnp.asarray(_tmat_for(cfg, block))
+        x, fir_tail = rrc_ops.fir_block(x, state.fir_tail, tmat, cfg.gain,
+                                        block, precision=_prec(cfg))
+
+        frames = CF32(x.re.reshape(batch + (nframes, fsz)),
+                      x.im.reshape(batch + (nframes, fsz)))
+        if cfg.timing_mode == "tracking":
+            tau, timing_state = timing_ops.timing_track(frames, cfg.cycles,
+                                                        timing_state)
+            picks = timing_ops.decimate_fractional(frames, tau, cfg.cycles)
+            index = jnp.round(tau).astype(jnp.int32)
+        else:
+            picks, index = timing_ops.estimate_and_decimate(
+                frames, cfg.cycles, cfg.timing_mode)
 
     # per-frame decimation picks feed the one-frame delay in batch:
     # outputs for frame f are the picks of frame f-1 (qpsk.c:186-191)

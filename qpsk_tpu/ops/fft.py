@@ -27,14 +27,16 @@ from qpsk_tpu.ops.cplx import CF32
 @functools.lru_cache(maxsize=None)
 def _dft_mats(n: int, inverse: bool):
     """(cos, sin) of the DFT matrix W[k, t] = exp(-j*2pi*k*t/n) (or +j for
-    the inverse).  float32, cached per size."""
+    the inverse).  float32 HOST arrays, cached per size — caching device
+    arrays here would capture a tracer-context constant on first use under
+    jit and leak it into later traces."""
     k = np.arange(n, dtype=np.float64)
     angle = 2.0 * np.pi * np.outer(k, k) / n
     if inverse:
-        return (jnp.asarray(np.cos(angle), jnp.float32),
-                jnp.asarray(np.sin(angle), jnp.float32))
-    return (jnp.asarray(np.cos(angle), jnp.float32),
-            jnp.asarray(-np.sin(angle), jnp.float32))
+        return (np.cos(angle).astype(np.float32),
+                np.sin(angle).astype(np.float32))
+    return (np.cos(angle).astype(np.float32),
+            (-np.sin(angle)).astype(np.float32))
 
 
 def _apply(x: CF32, cos_m, sin_m, scale: float | None) -> CF32:

@@ -40,10 +40,20 @@ def mod_symbols(indices: jnp.ndarray) -> CF32:
 
 def bits_to_symbols(bits: jnp.ndarray) -> CF32:
     """Pack a bit stream (..., 2*n) into n QPSK symbols with the reference
-    dibit order (qpsk.c:273-285): index = (bits[2i] << 1) | bits[2i+1]."""
-    b = bits.reshape(bits.shape[:-1] + (-1, 2)).astype(jnp.int32)
-    idx = (b[..., 0] << 1) | b[..., 1]
-    return mod_symbols(idx)
+    dibit order (qpsk.c:273-285): index = (bits[2i] << 1) | bits[2i+1].
+
+    Gather-free: for dibit (u, v) the constellation {1, +j, -j, -1} is the
+    closed form ``re = (1-d)*s, im = d*s`` with ``s = 1-2u`` (sign) and
+    ``d = u XOR v`` (axis select) — pure VPU arithmetic.  The table gather
+    this replaces was the TX compile pathology on the TPU backend: a
+    dynamic-index lane gather inside the benchmark's fori_loop blew the
+    Mosaic compile past 30 minutes."""
+    b = bits.reshape(bits.shape[:-1] + (-1, 2)).astype(jnp.float32)
+    u, v = b[..., 0], b[..., 1]
+    s = 1.0 - 2.0 * u
+    d = u + v - 2.0 * u * v
+    return CF32(((1.0 - d) * s).astype(jnp.float32),
+                (d * s).astype(jnp.float32))
 
 
 def demod_bits(symbols: CF32) -> jnp.ndarray:

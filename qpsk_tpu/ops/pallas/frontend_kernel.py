@@ -1,0 +1,299 @@
+"""Fused RX front-end kernel (Pallas / Mosaic TPU).
+
+One kernel fuses the whole pre-Costas RX chain of rx_frame
+(qpsk.c:114-191): int16 PCM -> f32 scale -> NCO mix-down -> 127-tap RRC
+matched filter -> per-frame symbol-timing energies -> argmax phase ->
+decimation — emitting only the decimated symbol picks and the timing
+index.  The XLA lowering of the same chain makes ~5 HBM round trips
+(convert+mix write, FIR window read + filtered write, energy read,
+decimate read + picks write, ~44 bytes/sample); this kernel reads the raw
+int16 PCM once and writes 2 f32 picks per symbol (~4 bytes/sample) — the
+front-end becomes HBM-minimal and MXU-bound.
+
+Numerics / design notes:
+
+* The NCO ramp ``exp(-j*omega*(s+1))`` cannot be evaluated at f32 for
+  stream offsets s ~ 1e7 (f32 loses radians).  It factors exactly into
+  ``base_j (x) r[p]`` with ``base_j = exp(-j*omega*j*B)`` per grid block
+  (tiny (nb, 2) input, computed host-side in f64) and a static per-window
+  table ``r[p] = exp(-j*omega*(p - halo + 1))`` — each factor f64-accurate,
+  one extra f32 unit-phasor product vs the XLA path (~1e-7 error).
+* PCM is real, so mixing is two broadcast multiplies of the raw plane by
+  the per-(channel, sample) phasor planes; the FIR is then the same banded
+  Toeplitz matmul as ops/rrc.py, with the 126-halo window formed in VMEM
+  from the int16 body block + the previous block's last 128 columns (the
+  previous-block view trick of fir_kernel.py).  The carried cross-call
+  delay-line tail enters as a 128-wide raw-PCM side input used by block 0.
+* Timing matches ``timing_power`` + ``decimate_select`` exactly when one
+  grid block == one modem frame (B == cfg.frame_size): per-frame energy
+  per decimation phase -> argmax -> one-hot contraction pick, no gathers.
+* Matmul precision mirrors the XLA fast path (DEFAULT, one bf16 MXU pass,
+  ~0.3 % under any channel noise floor); the parity path (fir_precision
+  "exact") never engages this kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qpsk_tpu.ops.cplx import CF32
+
+_HALO = 128
+
+
+def _kernel(base_r_ref, base_i_ref, tmat_ref, ramp_ref, phase0_ref, tail_ref,
+            body_ref, prev_ref, pr_ref, pi_ref, eng_ref, *, gain: float,
+            pcm_scale: float, cycles: int):
+    j = pl.program_id(1)
+    b = body_ref.shape[1]
+    ct = body_ref.shape[0]
+    inv = jnp.float32(1.0 / pcm_scale)
+
+    # raw f32 window: halo (previous block's last 128 raw samples, or the
+    # carried tail for block 0) + this block's body
+    body = body_ref[:, :].astype(jnp.float32) * inv
+    halo_prev = prev_ref[:, b - _HALO:].astype(jnp.float32) * inv
+    halo = jnp.where(j == 0, tail_ref[:, :], halo_prev)
+    x = jnp.concatenate([halo, body], axis=1)            # (CT, B + 128)
+
+    # per-(channel, sample) mix phasor: phase0 (x) base_j (x) ramp[p]
+    # (base_j comes from SMEM — grid-indexed scalars live there)
+    p0r, p0i = phase0_ref[:, 0:1], phase0_ref[:, 1:2]    # (CT, 1)
+    bjr, bji = base_r_ref[j], base_i_ref[j]              # scalars
+    cr = p0r * bjr - p0i * bji                           # (CT, 1)
+    ci = p0r * bji + p0i * bjr
+    rr, ri = ramp_ref[0:1, :], ramp_ref[1:2, :]          # (1, W)
+    mr = x * (cr * rr - ci * ri)                         # mixed re (CT, W)
+    mi = x * (cr * ri + ci * rr)                         # mixed im
+
+    # matched filter + decimation in one: per decimation phase p, the
+    # Toeplitz columns p::cycles form a (W, nsym) matrix whose matmul IS
+    # the filtered signal already decimated at phase p.  Same total MXU
+    # work as the full matmul, no lane-splitting reshape (Mosaic can't
+    # shape-cast (CT, B) -> (CT, nsym, cycles)), and the undec­imated
+    # signal is never materialized, even in VMEM.
+    g = jnp.float32(gain)
+    yrs, yis, es = [], [], []
+    for p in range(cycles):
+        tp = tmat_ref[p]                                 # (W, nsym)
+        yr = jnp.dot(mr, tp, preferred_element_type=jnp.float32) * g
+        yi = jnp.dot(mi, tp, preferred_element_type=jnp.float32) * g
+        yrs.append(yr)
+        yis.append(yi)
+        es.append(jnp.sum(yr * yr + yi * yi, axis=1, keepdims=True))
+
+    # first-wins argmax over the per-phase frame energies (timing_power),
+    # in f32 arithmetic (no sub-128-lane int ops)
+    emax = es[0]
+    for p in range(1, cycles):
+        emax = jnp.maximum(emax, es[p])
+    taken = jnp.zeros((ct, 1), jnp.float32)
+    pr = jnp.zeros_like(yrs[0])
+    pi = jnp.zeros_like(yis[0])
+    for p in range(cycles):
+        s = jnp.where(es[p] >= emax, 1.0, 0.0) * (1.0 - taken)
+        taken = taken + s
+        pr = pr + s * yrs[p]
+        pi = pi + s * yis[p]
+    pr_ref[:, :] = pr
+    pi_ref[:, :] = pi
+    # energies in the first `cycles` lanes, zero-padded to the 128-lane
+    # granule (the timing index = argmax over those lanes, taken outside)
+    eng_ref[:, :] = jnp.concatenate(
+        es + [jnp.zeros((ct, 128 - cycles), jnp.float32)], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _tables(taps_key: tuple, block: int, omega: float, cycles: int):
+    """(tmat, ramp) static constants: the per-phase 128-halo Toeplitz tap
+    stack ``tmat[p] = T[:, p::cycles]`` (each phase's matmul is the
+    filtered-and-decimated signal at that phase) and the within-window
+    mix-phasor table r[p] = exp(j*omega*(p - 127)), f64-designed."""
+    from qpsk_tpu.ops.rrc import toeplitz_taps
+    taps = np.asarray(taps_key, np.float32)
+    pad = _HALO - (taps.shape[0] - 1)
+    assert pad >= 0, "ntaps too large for the 128 halo"
+    full = toeplitz_taps(np.concatenate([np.zeros(pad, np.float32), taps]),
+                         block)
+    tmat = np.stack([full[:, p::cycles] for p in range(cycles)])
+    p = np.arange(block + _HALO, dtype=np.float64) - (_HALO - 1)
+    ang = omega * p
+    ramp = np.stack([np.cos(ang), np.sin(ang)]).astype(np.float32)
+    return tmat, ramp
+
+
+def _bases(omega: float, nb: int, block: int) -> np.ndarray:
+    """Per-block start phasors exp(j*omega*j*B), f64-wrapped."""
+    ang = np.mod(omega * np.arange(nb, dtype=np.float64) * block,
+                 2.0 * np.pi)
+    return np.stack([np.cos(ang), np.sin(ang)], -1).astype(np.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("taps_key", "block", "ct", "gain", "pcm_scale",
+                              "cycles", "omega", "interpret"))
+def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
+                 gain: float, pcm_scale: float, cycles: int, omega: float,
+                 interpret: bool = False):
+    c, n = pcm.shape
+    nb = n // block
+    tmat_np, ramp_np = _tables(taps_key, block, omega, cycles)
+    tmat = jnp.asarray(tmat_np)
+    ramp = jnp.asarray(ramp_np)
+    bases_np = _bases(omega, nb, block)
+    bases_r = jnp.asarray(bases_np[:, 0])
+    bases_i = jnp.asarray(bases_np[:, 1])
+
+    grid = (c // ct, nb)
+    body_spec = pl.BlockSpec((ct, block), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    prev_spec = pl.BlockSpec((ct, block),
+                             lambda i, j: (i, jnp.maximum(j - 1, 0)),
+                             memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel, gain=gain, pcm_scale=pcm_scale,
+                             cycles=cycles)
+    nsym = block // cycles
+    out_shape = (jax.ShapeDtypeStruct((c, n // cycles), jnp.float32),
+                 jax.ShapeDtypeStruct((c, n // cycles), jnp.float32),
+                 jax.ShapeDtypeStruct((c, nb * 128), jnp.float32))
+    pr, pi, eng = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((cycles, block + _HALO, block // cycles),
+                         lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, block + _HALO), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 2), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, _HALO), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            body_spec,
+            prev_spec,
+        ],
+        out_specs=(
+            pl.BlockSpec((ct, nsym), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, nsym), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 128), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(bases_r, bases_i, tmat, ramp, phase0, tail_raw, pcm, pcm)
+    idx = jnp.argmax(eng.reshape(c, nb, 128)[..., :cycles],
+                     axis=-1).astype(jnp.int32)
+    return pr, pi, idx
+
+
+def frontend_supported(cfg, batch_shape, fsz: int) -> bool:
+    """Whether the fused kernel covers this configuration (the XLA chain
+    handles everything else)."""
+    return (len(batch_shape) == 1 and batch_shape[0] % 8 == 0
+            and fsz % 128 == 0 and fsz % cfg.cycles == 0
+            # Mosaic block mapping needs the per-frame symbol count to tile
+            # the 128-lane granule (2400-baud: 128 ✓; 1200-baud's 64 falls
+            # back to the XLA chain until frame-grouping lands)
+            and (fsz // cfg.cycles) % 128 == 0
+            and cfg.ntaps - 1 <= _HALO
+            and cfg.timing_mode == "power"
+            and cfg.fir_precision == "fast")
+
+
+def rx_frontend_fused(cfg, pcm: jnp.ndarray, nco_phase: CF32,
+                      fir_tail: CF32, interpret: bool = False):
+    """Fused front-end over (C, nframes, frame_size) int16 PCM.
+
+    Drop-in for the mix -> fir_block -> estimate_and_decimate("power")
+    slice of ``_rx_stream_fused``: consumes/produces the SAME RxState
+    fields (mixed-domain CF32 ``fir_tail``, unit-phasor ``nco_phase``), so
+    calls chain interchangeably with the XLA path.  Returns
+    (picks CF32 (C, nframes, nsym), index (C, nframes) int32,
+    new_nco_phase, new_fir_tail).
+    """
+    from qpsk_tpu.modem import taps_for
+
+    interpret = interpret or jax.default_backend() != "tpu"
+    c, nframes, fsz = pcm.shape
+    n = nframes * fsz
+    omega = -cfg.omega_center
+    ntaps_m1 = cfg.ntaps - 1
+    # pad the channel axis to the 8-sublane grid granule (zero channels
+    # decimate at phase 0 and are sliced away below)
+    c_in = c
+    cpad = (-c) % 8
+    if cpad:
+        pcm = jnp.concatenate(
+            [pcm, jnp.zeros((cpad,) + pcm.shape[1:], pcm.dtype)])
+        nco_phase = CF32(jnp.concatenate([nco_phase.re,
+                                          jnp.ones((cpad,), jnp.float32)]),
+                         jnp.concatenate([nco_phase.im,
+                                          jnp.zeros((cpad,), jnp.float32)]))
+        fir_tail = CF32(
+            jnp.concatenate([fir_tail.re,
+                             jnp.zeros((cpad,) + fir_tail.shape[1:],
+                                       jnp.float32)]),
+            jnp.concatenate([fir_tail.im,
+                             jnp.zeros((cpad,) + fir_tail.shape[1:],
+                                       jnp.float32)]))
+        c += cpad
+    flat = pcm.reshape(c, n)
+
+    # --- un-mix the carried mixed-domain tail back to raw PCM f32 ---
+    # tail sample k (k = 0..125) sits at stream offset s = k - 126; its mix
+    # phasor was phase0 (x) exp(j*omega*(s+1)).  PCM is real, so
+    # raw = re(mixed * conj(phasor)) = m_re*pr + m_im*pi  (unit phasor).
+    karr = np.arange(-(ntaps_m1 - 1), 1, dtype=np.float64) * omega
+    tr = jnp.asarray(np.cos(karr), jnp.float32)
+    ti = jnp.asarray(np.sin(karr), jnp.float32)
+    pr = nco_phase.re[:, None] * tr - nco_phase.im[:, None] * ti
+    pi = nco_phase.re[:, None] * ti + nco_phase.im[:, None] * tr
+    raw_tail = fir_tail.re * pr + fir_tail.im * pi        # (C, 126)
+    pad = jnp.zeros((c, _HALO - ntaps_m1), jnp.float32)
+    tail128 = jnp.concatenate([pad, raw_tail], axis=1)    # (C, 128)
+
+    phase0 = jnp.stack([nco_phase.re, nco_phase.im], axis=1)  # (C, 2)
+
+    ct = 8
+    while ct * 2 <= min(c, 128) and c % (ct * 2) == 0:
+        ct *= 2
+    taps_key = tuple(np.asarray(taps_for(cfg)).tolist())
+    prr, pii, idx = _frontend_2d(flat, tail128, phase0, taps_key,
+                                 block=fsz, ct=ct, gain=float(cfg.gain),
+                                 pcm_scale=float(cfg.pcm_scale),
+                                 cycles=cfg.cycles, omega=float(omega),
+                                 interpret=interpret)
+    nsym = fsz // cfg.cycles
+    picks = CF32(prr.reshape(c, nframes, nsym)[:c_in],
+                 pii.reshape(c, nframes, nsym)[:c_in])
+    idx = idx[:c_in]
+    flat = flat[:c_in]
+    nco_phase = CF32(nco_phase.re[:c_in], nco_phase.im[:c_in])
+
+    # --- carried state, same contract as the XLA path ---
+    # new NCO phase: phase0 (x) exp(j*omega*n), renormalized (qpsk.c:120)
+    from qpsk_tpu.ops.cplx import cnormalize
+    ang = float(np.mod(omega * n, 2.0 * np.pi))
+    er, ei = jnp.float32(np.cos(ang)), jnp.float32(np.sin(ang))
+    new_phase = cnormalize(CF32(nco_phase.re * er - nco_phase.im * ei,
+                                nco_phase.re * ei + nco_phase.im * er))
+    # new mixed-domain tail: the last ntaps-1 raw samples re-mixed with
+    # their phasors phase0 (x) exp(j*omega*(s+1)), s = n-126..n-1
+    sarr = (np.arange(n - ntaps_m1, n, dtype=np.float64) + 1.0) * omega
+    lr = jnp.asarray(np.cos(np.mod(sarr, 2.0 * np.pi)), jnp.float32)
+    li = jnp.asarray(np.sin(np.mod(sarr, 2.0 * np.pi)), jnp.float32)
+    qr = nco_phase.re[:, None] * lr - nco_phase.im[:, None] * li
+    qi = nco_phase.re[:, None] * li + nco_phase.im[:, None] * lr
+    last = flat[:, n - ntaps_m1:].astype(jnp.float32) / jnp.float32(
+        cfg.pcm_scale)
+    new_tail = CF32(last * qr, last * qi)
+    return picks, idx, new_phase, new_tail
