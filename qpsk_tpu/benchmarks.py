@@ -12,15 +12,17 @@ Measurement discipline (matters on tunneled/remote TPU backends):
   ``np.asarray`` of a full output would measure the transfer;
 * iterations chain the state pytree so XLA cannot overlap them.
 
-Measured on one TPU v5e chip (2026-08-17): **8.1 Gsamples/s** at 2048
-channels — ~650x the 12.5 MS/s per-chip share of the BASELINE 100 MS/s
-v5e-8 target.  Two things matter equally: the fused rx_stream path (one
-mix + one split block-FIR matmul + one-hot decimation + a single Pallas
-Costas kernel with the channel batch on the lanes), and amortizing the
-relayed backend's ~1.8 ms per-launch cost over an in-jit fori_loop of
-chained steps — per-call timing measures the tunnel, not the chip (a null
-``x*2`` jit costs 1.76 ms/call here).  The naive per-frame scan with a
-``take_along_axis`` decimator ran 30x slower than the fused path.
+Measured on one TPU v5e chip (2026-08-17): **19.0 Gsamples/s** at 2048
+channels — ~1500x the 12.5 MS/s per-chip share of the BASELINE 100 MS/s
+v5e-8 target (8.1 GS/s with the staged XLA front-end; the fused Pallas
+front-end kernel moved the front-end from 10.1 to 23.5 GS/s).  Two
+things matter equally: the fused rx_stream path (one Pallas front-end
+kernel + a single Pallas Costas kernel with the channel batch on the
+lanes), and amortizing the relayed backend's ~1.8 ms per-launch cost
+over an in-jit fori_loop of chained steps — per-call timing measures the
+tunnel, not the chip (a null ``x*2`` jit costs 1.76 ms/call here).  The
+naive per-frame scan with a ``take_along_axis`` decimator ran 30x slower
+than the fused path.
 """
 
 from __future__ import annotations

@@ -258,13 +258,14 @@ def _rx_stream_scan(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     return state, outs
 
 
-def _use_fused_frontend(cfg: ModemConfig, batch, fsz: int) -> bool:
+def _use_fused_frontend(cfg: ModemConfig, batch, fsz: int,
+                        nframes: int) -> bool:
     from qpsk_tpu.ops.pallas.frontend_kernel import frontend_supported
     if cfg.frontend_impl == "pallas":
         return True
     return (cfg.frontend_impl == "auto"
             and jax.default_backend() == "tpu"
-            and frontend_supported(cfg, batch, fsz))
+            and frontend_supported(cfg, batch, fsz, nframes))
 
 
 def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
@@ -274,7 +275,7 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     n = nframes * fsz
 
     timing_state = state.timing
-    if _use_fused_frontend(cfg, batch, fsz):
+    if _use_fused_frontend(cfg, batch, fsz, nframes):
         # ONE Pallas pass: int16 -> mix -> FIR -> timing -> decimate
         # (ops/pallas/frontend_kernel.py) — same state contract as below
         from qpsk_tpu.ops.pallas.frontend_kernel import rx_frontend_fused

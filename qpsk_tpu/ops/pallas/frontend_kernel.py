@@ -47,9 +47,9 @@ from qpsk_tpu.ops.cplx import CF32
 _HALO = 128
 
 
-def _kernel(base_r_ref, base_i_ref, tmat_ref, ramp_ref, phase0_ref, tail_ref,
-            body_ref, prev_ref, pr_ref, pi_ref, eng_ref, *, gain: float,
-            pcm_scale: float, cycles: int):
+def _kernel(base_r_ref, base_i_ref, tmat_ref, ramp_ref,
+            phase0_ref, tail_ref, body_ref, prev_ref, pr_ref, pi_ref,
+            eng_ref, *, gain: float, pcm_scale: float, cycles: int, g: int):
     j = pl.program_id(1)
     b = body_ref.shape[1]
     ct = body_ref.shape[0]
@@ -73,40 +73,58 @@ def _kernel(base_r_ref, base_i_ref, tmat_ref, ramp_ref, phase0_ref, tail_ref,
     mi = x * (cr * ri + ci * rr)                         # mixed im
 
     # matched filter + decimation in one: per decimation phase p, the
-    # Toeplitz columns p::cycles form a (W, nsym) matrix whose matmul IS
+    # Toeplitz columns p::cycles form a (W, g*nsym) matrix whose matmul IS
     # the filtered signal already decimated at phase p.  Same total MXU
     # work as the full matmul, no lane-splitting reshape (Mosaic can't
-    # shape-cast (CT, B) -> (CT, nsym, cycles)), and the undec­imated
-    # signal is never materialized, even in VMEM.
-    g = jnp.float32(gain)
+    # shape-cast (CT, B) -> (CT, nsym, cycles)), and the undecimated
+    # signal is never materialized, even in VMEM.  Each grid step covers
+    # ``g`` modem frames (g = 128 // symbols_per_frame keeps the picks
+    # lane-dim on the 128 granule for small frames, e.g. 1200 baud).
+    # Per-frame energies and the phase selection stay on the VPU in full
+    # f32 (static iota frame masks + full-width reductions): routing them
+    # through an MXU segment matmul truncates the operands to bf16 and the
+    # near-tie phase energies then argmax differently from the XLA chain
+    # (measured: ~27 % of frames pick a different phase on v5e).
+    gn = jnp.float32(gain)
+    gnsym = tmat_ref.shape[2]
+    nsym = gnsym // g
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gnsym), 1)
+    masks = [jnp.where((lane >= f * nsym) & (lane < (f + 1) * nsym),
+                       1.0, 0.0).astype(jnp.float32) for f in range(g)]
     yrs, yis, es = [], [], []
     for p in range(cycles):
-        tp = tmat_ref[p]                                 # (W, nsym)
-        yr = jnp.dot(mr, tp, preferred_element_type=jnp.float32) * g
-        yi = jnp.dot(mi, tp, preferred_element_type=jnp.float32) * g
+        tp = tmat_ref[p]                                 # (W, g*nsym)
+        yr = jnp.dot(mr, tp, preferred_element_type=jnp.float32) * gn
+        yi = jnp.dot(mi, tp, preferred_element_type=jnp.float32) * gn
         yrs.append(yr)
         yis.append(yi)
-        es.append(jnp.sum(yr * yr + yi * yi, axis=1, keepdims=True))
+        e = yr * yr + yi * yi
+        es.append(jnp.concatenate(
+            [jnp.sum(e * masks[f], axis=1, keepdims=True)
+             for f in range(g)], axis=1))                # (CT, g)
 
-    # first-wins argmax over the per-phase frame energies (timing_power),
-    # in f32 arithmetic (no sub-128-lane int ops)
+    # first-wins argmax over the per-(frame, phase) energies
+    # (timing_power), in f32 arithmetic (no sub-128-lane int ops)
     emax = es[0]
     for p in range(1, cycles):
         emax = jnp.maximum(emax, es[p])
-    taken = jnp.zeros((ct, 1), jnp.float32)
+    taken = jnp.zeros((ct, g), jnp.float32)
     pr = jnp.zeros_like(yrs[0])
     pi = jnp.zeros_like(yis[0])
     for p in range(cycles):
-        s = jnp.where(es[p] >= emax, 1.0, 0.0) * (1.0 - taken)
+        s = jnp.where(es[p] >= emax, 1.0, 0.0) * (1.0 - taken)  # (CT, g)
         taken = taken + s
-        pr = pr + s * yrs[p]
-        pi = pi + s * yis[p]
+        sx = masks[0] * s[:, 0:1]                        # (CT, g*nsym)
+        for f in range(1, g):
+            sx = sx + masks[f] * s[:, f:f + 1]
+        pr = pr + sx * yrs[p]
+        pi = pi + sx * yis[p]
     pr_ref[:, :] = pr
     pi_ref[:, :] = pi
-    # energies in the first `cycles` lanes, zero-padded to the 128-lane
-    # granule (the timing index = argmax over those lanes, taken outside)
+    # energies in the first cycles*g lanes (phase-major), zero-padded to
+    # the 128-lane granule (timing index = argmax outside)
     eng_ref[:, :] = jnp.concatenate(
-        es + [jnp.zeros((ct, 128 - cycles), jnp.float32)], axis=1)
+        es + [jnp.zeros((ct, 128 - cycles * g), jnp.float32)], axis=1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -137,10 +155,10 @@ def _bases(omega: float, nb: int, block: int) -> np.ndarray:
 
 @functools.partial(
     jax.jit, static_argnames=("taps_key", "block", "ct", "gain", "pcm_scale",
-                              "cycles", "omega", "interpret"))
+                              "cycles", "g", "omega", "interpret"))
 def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
-                 gain: float, pcm_scale: float, cycles: int, omega: float,
-                 interpret: bool = False):
+                 gain: float, pcm_scale: float, cycles: int, g: int,
+                 omega: float, interpret: bool = False):
     c, n = pcm.shape
     nb = n // block
     tmat_np, ramp_np = _tables(taps_key, block, omega, cycles)
@@ -157,8 +175,8 @@ def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
                              lambda i, j: (i, jnp.maximum(j - 1, 0)),
                              memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, gain=gain, pcm_scale=pcm_scale,
-                             cycles=cycles)
-    nsym = block // cycles
+                             cycles=cycles, g=g)
+    gnsym = block // cycles
     out_shape = (jax.ShapeDtypeStruct((c, n // cycles), jnp.float32),
                  jax.ShapeDtypeStruct((c, n // cycles), jnp.float32),
                  jax.ShapeDtypeStruct((c, nb * 128), jnp.float32))
@@ -168,7 +186,7 @@ def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((cycles, block + _HALO, block // cycles),
+            pl.BlockSpec((cycles, block + _HALO, gnsym),
                          lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, block + _HALO), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -180,9 +198,9 @@ def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
             prev_spec,
         ],
         out_specs=(
-            pl.BlockSpec((ct, nsym), lambda i, j: (i, j),
+            pl.BlockSpec((ct, gnsym), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ct, nsym), lambda i, j: (i, j),
+            pl.BlockSpec((ct, gnsym), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ct, 128), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
@@ -190,20 +208,31 @@ def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
         out_shape=out_shape,
         interpret=interpret,
     )(bases_r, bases_i, tmat, ramp, phase0, tail_raw, pcm, pcm)
-    idx = jnp.argmax(eng.reshape(c, nb, 128)[..., :cycles],
-                     axis=-1).astype(jnp.int32)
+    # phase-major energy lanes -> per-frame argmax: (c, nb, cycles, g)
+    e = eng.reshape(c, nb, 128)[..., :cycles * g].reshape(c, nb, cycles, g)
+    idx = jnp.argmax(e, axis=-2).astype(jnp.int32).reshape(c, nb * g)
     return pr, pi, idx
 
 
-def frontend_supported(cfg, batch_shape, fsz: int) -> bool:
+def _group(cfg, fsz: int) -> int:
+    """Frames per grid block: small frames (1200 baud: 64 sym) group so the
+    picks lane-dim lands on the 128 granule."""
+    nsym = fsz // cfg.cycles
+    return max(1, 128 // nsym)
+
+
+def frontend_supported(cfg, batch_shape, fsz: int,
+                       nframes: int | None = None) -> bool:
     """Whether the fused kernel covers this configuration (the XLA chain
     handles everything else)."""
+    nsym = fsz // max(cfg.cycles, 1)
+    g = max(1, 128 // max(nsym, 1))
     return (len(batch_shape) == 1 and batch_shape[0] % 8 == 0
             and fsz % 128 == 0 and fsz % cfg.cycles == 0
-            # Mosaic block mapping needs the per-frame symbol count to tile
-            # the 128-lane granule (2400-baud: 128 ✓; 1200-baud's 64 falls
-            # back to the XLA chain until frame-grouping lands)
-            and (fsz // cfg.cycles) % 128 == 0
+            # the picks lane-dim (g frames per block) must tile the
+            # 128-lane Mosaic granule
+            and (g * nsym) % 128 == 0
+            and (nframes is None or nframes % g == 0)
             and cfg.ntaps - 1 <= _HALO
             and cfg.timing_mode == "power"
             and cfg.fir_precision == "fast")
@@ -266,11 +295,13 @@ def rx_frontend_fused(cfg, pcm: jnp.ndarray, nco_phase: CF32,
     ct = 8
     while ct * 2 <= min(c, 128) and c % (ct * 2) == 0:
         ct *= 2
+    g = _group(cfg, fsz)
+    assert nframes % g == 0, (nframes, g)
     taps_key = tuple(np.asarray(taps_for(cfg)).tolist())
     prr, pii, idx = _frontend_2d(flat, tail128, phase0, taps_key,
-                                 block=fsz, ct=ct, gain=float(cfg.gain),
+                                 block=g * fsz, ct=ct, gain=float(cfg.gain),
                                  pcm_scale=float(cfg.pcm_scale),
-                                 cycles=cfg.cycles, omega=float(omega),
+                                 cycles=cfg.cycles, g=g, omega=float(omega),
                                  interpret=interpret)
     nsym = fsz // cfg.cycles
     picks = CF32(prr.reshape(c, nframes, nsym)[:c_in],

@@ -21,17 +21,20 @@ MXU work is identical in both (the banded Toeplitz matmul computes
 band overhead is the price of dense MXU tiling and is accounted
 separately as ``mfu_useful``).
 
-Peaks default to the empirically calibrated v5e-through-relay numbers
-(CLAUDE.md): ~95 TFLOP/s bf16 matmul, ~163 GB/s HBM.
+Peaks are the v5e datasheet numbers (197 TFLOP/s bf16 matmul, 819 GB/s
+HBM).  The round-1 "relay-calibrated" figures (~95 TFLOP/s / ~163 GB/s)
+were measurement artifacts of the tunneled backend: the staged XLA
+front-end demonstrably sustains ~440 GB/s of real HBM traffic, which
+disproves the 163 GB/s calibration.
 """
 
 from __future__ import annotations
 
 import dataclasses
 
-# calibrated through-the-relay v5e peaks (see module docstring)
-PEAK_MATMUL_FLOPS = 95e12
-PEAK_HBM_BPS = 163e9
+# TPU v5e datasheet peaks (see module docstring)
+PEAK_MATMUL_FLOPS = 197e12
+PEAK_HBM_BPS = 819e9
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,8 +87,8 @@ def frontend_report(cfg, channels: int, nframes: int, measured_s: float,
         "impl": impl,
         "channels": channels,
         "samples": channels * nframes * cfg.frame_size,
-        "measured_s": round(measured_s, 6),
-        "ideal_s": round(c.ideal_s, 6),
+        "measured_s": round(measured_s, 9),
+        "ideal_s": round(c.ideal_s, 9),
         "bound": c.bound,
         "roofline_fraction": round(c.ideal_s / measured_s, 3),
         "hbm_gbps": round(c.hbm_bytes / measured_s / 1e9, 1),

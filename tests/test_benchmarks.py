@@ -1,0 +1,59 @@
+"""Benchmark-harness structure tests: every suite must run end-to-end on
+the CPU mesh and emit the records the docs/driver consume (tiny sizes —
+these validate the harness, not silicon)."""
+
+import numpy as np
+
+from qpsk_tpu.benchmarks import (frontend_throughput, rx_throughput,
+                                 scaling_efficiency,
+                                 single_stream_blockparallel_throughput,
+                                 single_stream_serial_throughput,
+                                 tx_throughput)
+
+
+def test_rx_tx_throughput_records():
+    for fn, metric in ((rx_throughput, "rx_demod_throughput"),
+                       (tx_throughput, "tx_mod_throughput")):
+        r = fn(channels=8, frames=2, iters=1, inner=1)
+        assert r["metric"] == metric
+        assert r["value"] > 0
+        assert r["unit"] == "samples/s"
+
+
+def test_single_stream_records():
+    r = single_stream_serial_throughput(frames=4, iters=1, inner=1)
+    assert r["metric"] == "single_stream_serial_throughput" and r["value"] > 0
+    r = single_stream_blockparallel_throughput(frames=8, nblocks=4,
+                                               iters=1, inner=1)
+    assert (r["metric"] == "single_stream_blockparallel_throughput"
+            and r["value"] > 0)
+
+
+def test_scaling_efficiency_records():
+    recs = scaling_efficiency(device_counts=(1, 2), channels_per_device=4,
+                              frames=2, iters=1, inner=1)
+    modes = {(r["mode"], r["devices"]) for r in recs}
+    assert modes == {("dp", 1), ("dp", 2), ("sp", 1), ("sp", 2)}
+    for r in recs:
+        assert r["efficiency"] > 0
+        assert r["throughput_sps"] > 0
+        if r["devices"] == 1:
+            assert r["efficiency"] == 1.0
+
+
+def test_frontend_throughput_roofline():
+    for impl in ("xla", "pallas"):
+        r = frontend_throughput(impl=impl, channels=8, frames=2,
+                                iters=1, inner=1)
+        assert r["metric"] == f"frontend_throughput_{impl}"
+        roof = r["roofline"]
+        assert roof["impl"] == impl
+        assert roof["bound"] in ("hbm", "mxu")
+        assert roof["ideal_s"] > 0 and roof["measured_s"] > 0
+        # the fused kernel's analytic traffic must be far below the staged
+        # chain's — that's its entire reason to exist
+    from qpsk_tpu import ModemConfig
+    from qpsk_tpu.utils.roofline import frontend_cost
+    cfg = ModemConfig()
+    assert (frontend_cost(cfg, 128, 16, "pallas").hbm_bytes
+            < 0.2 * frontend_cost(cfg, 128, 16, "xla").hbm_bytes)

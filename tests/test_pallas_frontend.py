@@ -48,10 +48,8 @@ def _pcm(cfg, c, nframes, seed=0):
                          ids=["2400", "1200"])
 def test_frontend_kernel_matches_xla(cfg):
     c, nframes = 16, 4
-    # 1200-baud (64 symbols/frame) is interpret-correct but below the
-    # 128-lane Mosaic granule, so `auto` falls back to XLA on hardware
-    assert (frontend_supported(cfg, (c,), cfg.frame_size)
-            == ((cfg.frame_size // cfg.cycles) % 128 == 0))
+    # 1200-baud (64 symbols/frame) rides the kernel via 2-frame grouping
+    assert frontend_supported(cfg, (c,), cfg.frame_size, nframes)
     pcm = _pcm(cfg, c, nframes)
     st = rx_init(cfg, batch_shape=(c,))
     k_picks, k_idx, k_ph, k_tail = rx_frontend_fused(
