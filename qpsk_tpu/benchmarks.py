@@ -55,12 +55,13 @@ def _time_chained(step, state0, x, iters: int) -> float:
 
 
 def tx_throughput(channels: int | None = None, frames: int | None = None,
-                  iters: int | None = None, inner: int | None = None) -> dict:
+                  iters: int | None = None, inner: int | None = None,
+                  cfg=None) -> dict:
     """Aggregate TX modulation rate (mod + zero-stuff + RRC + mix + PCM)."""
     from qpsk_tpu import ModemConfig, tx_init
     from qpsk_tpu.modem import tx_stream
 
-    cfg = ModemConfig()
+    cfg = cfg or ModemConfig()
     platform = jax.devices()[0].platform
     channels = channels or (2048 if platform == "tpu" else 16)
     frames = frames or (16 if platform == "tpu" else 4)
@@ -70,7 +71,10 @@ def tx_throughput(channels: int | None = None, frames: int | None = None,
     # bits_to_symbols lowering pathologically inside the fori_loop; with
     # the gather-free closed form (ops/modmap.py) the inner=10 graph
     # compiles in seconds and TX gets the same dispatch-amortized
-    # discipline as RX (measured 17.2 GS/s on v5e, 2026-08-17).
+    # discipline as RX.  Measured on v5e (2026-08-17): 17.3 GS/s via the
+    # staged XLA chain; 40.0 GS/s via the fused polyphase Pallas kernel
+    # (ops/pallas/tx_kernel.py, the default on TPU), whose single
+    # interleaved matmul never materializes the zero-stuffed signal.
     inner = inner or (10 if platform == "tpu" else 2)
     nsym = cfg.symbols_per_frame
     nsamples = channels * frames * cfg.frame_size

@@ -77,6 +77,12 @@ class ModemConfig:
     # (power timing, fast FIR, channel batch); "xla" forces the staged
     # lowering; "pallas" forces the kernel (tests use interpret mode).
     frontend_impl: str = "auto"
+    # tx_impl: "auto" picks the fused polyphase TX kernel (symbols ->
+    # upsample+RRC in one interleaved matmul -> mix -> int16, ONE HBM pass,
+    # ops/pallas/tx_kernel.py) on TPU when the shape/mode allows; "xla"
+    # forces the staged lowering; "pallas" forces the kernel (interpret on
+    # CPU).  Chirp (doppler) TX always takes the XLA path.
+    tx_impl: str = "auto"
     # fir_precision: "fast" = one bf16 MXU pass (~0.3% output error, far
     # below any channel noise; ~1.8x faster); "exact" = HIGHEST-precision
     # f32 (parity-grade, required by the golden-vector tests).
@@ -108,6 +114,8 @@ class ModemConfig:
             raise ValueError(f"unknown costas_impl {self.costas_impl!r}")
         if self.frontend_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown frontend_impl {self.frontend_impl!r}")
+        if self.tx_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown tx_impl {self.tx_impl!r}")
         if self.fir_precision not in ("fast", "exact"):
             raise ValueError(f"unknown fir_precision {self.fir_precision!r}")
         if self.acquisition not in ("none", "fft"):

@@ -117,6 +117,18 @@ def tx_stream(cfg: ModemConfig, state: TxState, bits: jnp.ndarray,
         sym = modmap.bits_to_symbols(bits)          # (..., F, nsym)
         flat = CF32(sym.re.reshape(batch + (nframes * nsym,)),
                     sym.im.reshape(batch + (nframes * nsym,)))
+    if _use_fused_tx(cfg, batch, nframes * nsym, doppler_hz_per_s):
+        # ONE Pallas pass: upsample + RRC + interleave (single polyphase
+        # matmul) + mix + int16 (ops/pallas/tx_kernel.py) — same state
+        # contract as below
+        from qpsk_tpu.ops.pallas.tx_kernel import tx_modulate_fused
+        pcm, phase, fir_tail = tx_modulate_fused(
+            cfg, flat, state.nco_phase, state.fir_tail,
+            tx_offset_hz=tx_offset_hz)
+        pcm = pcm.reshape(batch + (nframes, nsym * cfg.cycles))
+        return state._replace(fir_tail=fir_tail, nco_phase=phase,
+                              diff_phase=diff_phase), pcm
+
     sig = modmap.upsample_zero_stuff(flat, cfg.cycles)
     n = sig.shape[-1]
     # block from the per-frame sample count (NOT cfg.frame_size): callers
@@ -137,6 +149,19 @@ def tx_stream(cfg: ModemConfig, state: TxState, bits: jnp.ndarray,
     pcm = pcm.reshape(batch + (nframes, nsym * cfg.cycles))
     return state._replace(fir_tail=fir_tail, nco_phase=phase,
                           diff_phase=diff_phase), pcm
+
+
+def _use_fused_tx(cfg: ModemConfig, batch, nsym_total: int,
+                  doppler_hz_per_s: float) -> bool:
+    from qpsk_tpu.ops.pallas.tx_kernel import tx_supported
+    if doppler_hz_per_s or cfg.fir_precision != "fast" \
+            or cfg.nco_mode != "fast":
+        return False
+    if cfg.tx_impl == "pallas":
+        return True
+    return (cfg.tx_impl == "auto"
+            and jax.default_backend() == "tpu"
+            and tx_supported(cfg, batch, nsym_total))
 
 
 def rx_acquire_hz(cfg: ModemConfig, pcm: jnp.ndarray) -> jnp.ndarray:
