@@ -35,6 +35,13 @@ class ModemConfig:
     gain: float = 1.85           # RRC passband gain knob     (rrc_fir.h:14)
     frame_size: int = 512        # RX block, samples          (qpsk.h:23)
     loop_bw: float = TAU / 100.0  # Costas bandwidth, rad/sym (qpsk.c:302)
+    # loop_bw_track > 0 enables the gear-shift (dual-bandwidth) Costas
+    # loop: acquire at loop_bw, then shift to this narrower tracking
+    # bandwidth once the lock detector settles (ops/costas.CostasGear).
+    # Resolves the reference's one-knob tension (README.md:12: bandwidth
+    # must be hand-tuned in TAU/100..TAU/200 — wide to pull in, narrow to
+    # not jitter).  0 = single-bandwidth loop (reference behavior).
+    loop_bw_track: float = 0.0
     damping: float = math.sqrt(2.0) / 2.0   # (costas_loop.c:38)
     min_freq: float = -1.0       # Costas freq clamp, rad/sym (qpsk.c:302)
     max_freq: float = 1.0
@@ -120,6 +127,11 @@ class ModemConfig:
             raise ValueError(f"unknown fir_precision {self.fir_precision!r}")
         if self.acquisition not in ("none", "fft"):
             raise ValueError(f"unknown acquisition {self.acquisition!r}")
+        if self.loop_bw_track < 0 or self.loop_bw_track > self.loop_bw:
+            raise ValueError(
+                f"loop_bw_track={self.loop_bw_track} must be in "
+                f"[0, loop_bw={self.loop_bw}] — the tracking gear is the "
+                "narrower bandwidth (0 disables the gear shift)")
 
     @property
     def cycles(self) -> int:

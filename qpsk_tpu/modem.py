@@ -56,6 +56,13 @@ def _prec(cfg: ModemConfig):
             else jax.lax.Precision.HIGHEST)
 
 
+def _gear_for(cfg: ModemConfig):
+    """CostasGear for the config, or None (single-bandwidth loop)."""
+    if cfg.loop_bw_track <= 0:
+        return None
+    return costas_ops.costas_gear(cfg.loop_bw_track, cfg.damping)
+
+
 class RxOut(NamedTuple):
     symbols: CF32            # (..., nsym) Costas-derotated constellation pts
     bits: jnp.ndarray        # (..., 2*nsym) sliced bits
@@ -228,7 +235,12 @@ def rx_frame(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
 
     params = costas_ops.costas_params(cfg.loop_bw, cfg.damping,
                                       cfg.min_freq, cfg.max_freq)
-    cstate, derot = costas_ops.costas_run(state.costas, symbols, params)
+    gear = _gear_for(cfg)
+    if gear is not None:
+        cstate, derot = costas_ops.costas_run_gear(state.costas, symbols,
+                                                   params, gear)
+    else:
+        cstate, derot = costas_ops.costas_run(state.costas, symbols, params)
     diff_prev = state.diff_prev
     if cfg.differential:
         bits, diff_prev = differential.diff_decode_symbols(derot, diff_prev)
@@ -344,10 +356,14 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
         cfg.costas_impl == "auto"
         and jax.default_backend() == "tpu"
         and len(batch) == 1 and batch[0] % 128 == 0)
+    gear = _gear_for(cfg)
     if use_pallas:
         from qpsk_tpu.ops.pallas import costas_kernel
         cstate, derot, freq_trace = costas_kernel.costas_run_pallas_traced(
-            state.costas, symbols, params)
+            state.costas, symbols, params, gear=gear)
+    elif gear is not None:
+        cstate, derot, freq_trace = costas_ops.costas_run_gear_traced(
+            state.costas, symbols, params, gear, unroll=8)
     else:
         cstate, derot, freq_trace = costas_ops.costas_run_traced(
             state.costas, symbols, params, unroll=8)

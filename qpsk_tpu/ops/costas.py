@@ -26,7 +26,7 @@ Exact semantics replicated (for parity with the C chain):
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -44,10 +44,41 @@ class CostasParams(NamedTuple):
     min_freq: jnp.ndarray
 
 
+class CostasGear(NamedTuple):
+    """Gear-shift (dual-bandwidth) extension of the loop.
+
+    The reference README warns the loop bandwidth must be hand-tuned in
+    TAU/100..TAU/200 (README.md:12): wide enough to pull in the carrier
+    offset, narrow enough not to jitter at the lock point — one knob,
+    two jobs.  The gear shift splits them: the loop runs at the (wide)
+    acquisition bandwidth of ``CostasParams`` until a lock detector —
+    a leaky average ``lev`` of the *normalized* decision error
+    ``|err| / (|Re| + |Im|)`` (scale-free: the double-GAIN chain's 1.45x
+    symbol magnitude cancels) — falls below ``enter``, then shifts to the
+    (narrow) tracking gains; it shifts back up if ``lev`` rises past
+    ``exit`` (a slip / signal loss re-arms acquisition).  Measured levels:
+    unlocked ~0.44, locked 0.06 @ 20 dB .. 0.27 @ 7 dB, so the default
+    0.32/0.40 hysteresis band separates cleanly over the modem's whole
+    operating range.
+    """
+    alpha_trk: jnp.ndarray
+    beta_trk: jnp.ndarray
+    gamma: jnp.ndarray      # lock-level smoothing (time const ~1/gamma syms)
+    enter: jnp.ndarray      # shift down (track) when lev < enter
+    exit: jnp.ndarray       # shift up (re-acquire) when lev > exit
+
+
 class CostasState(NamedTuple):
-    """Dynamic loop state (costas_loop.c:13-15); rad/symbol units."""
+    """Dynamic loop state (costas_loop.c:13-15); rad/symbol units.
+
+    ``lev``/``locked`` carry the gear-shift lock detector (smoothed
+    normalized error level + latched gear flag); ``None`` — the default,
+    which vanishes from the pytree — means the fixed-bandwidth loop.
+    """
     phase: jnp.ndarray
     freq: jnp.ndarray
+    lev: Any = None
+    locked: Any = None
 
 
 def costas_params(loop_bw: float, damping: float = math.sqrt(2.0) / 2.0,
@@ -60,12 +91,38 @@ def costas_params(loop_bw: float, damping: float = math.sqrt(2.0) / 2.0,
         max_freq=jnp.float32(max_freq), min_freq=jnp.float32(min_freq))
 
 
-def costas_init(batch_shape=(), phase=0.0, freq=0.0) -> CostasState:
+def costas_init(batch_shape=(), phase=0.0, freq=0.0,
+                gear: bool = False) -> CostasState:
     """Cold start (qpsk.c:302: phase=0, freq=0); pass an acquisition
-    estimate as ``freq`` (rad/symbol) to warm-start."""
+    estimate as ``freq`` (rad/symbol) to warm-start.  ``gear=True`` adds
+    the lock-detector state (starts unlocked, in the acquisition gear)."""
+    def bc(v):
+        return jnp.broadcast_to(jnp.asarray(v, jnp.float32), batch_shape)
     return CostasState(
-        phase=jnp.broadcast_to(jnp.asarray(phase, jnp.float32), batch_shape),
-        freq=jnp.broadcast_to(jnp.asarray(freq, jnp.float32), batch_shape))
+        phase=bc(phase), freq=bc(freq),
+        lev=bc(1.0) if gear else None,
+        locked=bc(0.0) if gear else None)
+
+
+def costas_gear(loop_bw_trk: float,
+                damping: float = math.sqrt(2.0) / 2.0,
+                gamma: float = 1.0 / 64.0, enter: float = 0.32,
+                exit: float = 0.40) -> CostasGear:
+    """Tracking-gear gains (same gain schedule as costas_params) plus the
+    lock-detector constants.  See ``CostasGear``.
+
+    ``gamma`` defaults to a power of two so ``gamma * (lev - errn)`` is an
+    exact float op (pure exponent shift): the lock-level recurrence then
+    rounds only once per step regardless of FMA contraction, keeping the
+    scan and Pallas lowerings bit-identical (a non-power-of-two gamma
+    drifts by ULPs between compilers and could, at a threshold crossing,
+    shift the gear change by one symbol)."""
+    denom = 1.0 + 2.0 * damping * loop_bw_trk + loop_bw_trk * loop_bw_trk
+    return CostasGear(
+        alpha_trk=jnp.float32(4.0 * damping * loop_bw_trk / denom),
+        beta_trk=jnp.float32(4.0 * loop_bw_trk * loop_bw_trk / denom),
+        gamma=jnp.float32(gamma), enter=jnp.float32(enter),
+        exit=jnp.float32(exit))
 
 
 def phase_detector(z: CF32) -> jnp.ndarray:
@@ -93,6 +150,63 @@ def costas_step(state: CostasState, z: CF32, params: CostasParams):
     phase = _wrap_phase(phase)
     freq = jnp.clip(freq, params.min_freq, params.max_freq)
     return CostasState(phase=phase, freq=freq), out
+
+
+def costas_step_gear(state: CostasState, z: CF32, params: CostasParams,
+                     gear: CostasGear):
+    """One symbol tick with the gear-shift lock detector (see CostasGear).
+
+    Identical to ``costas_step`` except the (alpha, beta) applied each
+    step are selected by the latched gear flag, updated from this symbol's
+    normalized error *before* the loop advance (one-symbol-faster gear
+    response; the detector itself is ~1/gamma symbols slow, so ordering is
+    immaterial to behavior).
+
+    The optimization barrier pins ONE evaluation of the derotated symbol:
+    without it XLA duplicates ``out`` into separate fusions (the returned
+    output vs the ``errn`` consumer) whose multiply-adds may FMA-contract
+    differently, drifting the lock level by ULPs between lowerings (found
+    bisecting a scan-vs-Pallas lev mismatch; out/phase/freq were already
+    bit-identical)."""
+    out = cmul(z, cexp_conj(state.phase))
+    out = CF32(*jax.lax.optimization_barrier((out.re, out.im)))
+    err = phase_detector(out)
+    errn = jnp.abs(err) / (jnp.abs(out.re) + jnp.abs(out.im)
+                           + jnp.float32(1e-9))
+    lev = state.lev + gear.gamma * (errn - state.lev)
+    locked = jnp.where(lev < gear.enter, jnp.float32(1.0),
+                       jnp.where(lev > gear.exit, jnp.float32(0.0),
+                                 state.locked))
+    alpha = jnp.where(locked > 0.5, gear.alpha_trk, params.alpha)
+    beta = jnp.where(locked > 0.5, gear.beta_trk, params.beta)
+    freq = state.freq + beta * err
+    phase = (state.phase + freq) + alpha * err
+    phase = _wrap_phase(phase)
+    freq = jnp.clip(freq, params.min_freq, params.max_freq)
+    return CostasState(phase=phase, freq=freq, lev=lev, locked=locked), out
+
+
+def costas_run_gear_traced(state: CostasState, symbols: CF32,
+                           params: CostasParams, gear: CostasGear,
+                           unroll: int = 1):
+    """Gear-shift twin of ``costas_run_traced``: returns
+    (new_state, derotated, freq_trace)."""
+    xs = CF32(jnp.moveaxis(symbols.re, -1, 0), jnp.moveaxis(symbols.im, -1, 0))
+
+    def step(st, z):
+        st, out = costas_step_gear(st, CF32(*z), params, gear)
+        return st, (out, st.freq)
+
+    new_state, (out, freq) = jax.lax.scan(step, state, tuple(xs),
+                                          unroll=unroll)
+    return new_state, CF32(jnp.moveaxis(out.re, 0, -1),
+                           jnp.moveaxis(out.im, 0, -1)), jnp.moveaxis(freq, 0, -1)
+
+
+def costas_run_gear(state: CostasState, symbols: CF32, params: CostasParams,
+                    gear: CostasGear, unroll: int = 1):
+    st, out, _ = costas_run_gear_traced(state, symbols, params, gear, unroll)
+    return st, out
 
 
 def costas_run(state: CostasState, symbols: CF32, params: CostasParams,

@@ -30,13 +30,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from qpsk_tpu.ops.costas import CostasParams, CostasState, TAU
+from qpsk_tpu.ops.costas import CostasGear, CostasParams, CostasState, TAU
 from qpsk_tpu.ops.cplx import CF32
 
 
-def _kernel(params_ref, zr_ref, zi_ref, phase0_ref, freq0_ref,
-            or_ref, oi_ref, ft_ref, phase_out_ref, freq_out_ref,
-            phase_s, freq_s):
+def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool):
+    # ref layout (gear fields only when gear=True):
+    #   inputs:  phase0, freq0, [lev0, locked0]
+    #   outputs: out_re, out_im, freq_trace, phase_out, freq_out,
+    #            [lev_out, locked_out]
+    #   scratch: phase_s, freq_s, [lev_s, locked_s]
+    ns = 4 if gear else 2
+    ins, rest = refs[:ns], refs[ns:]
+    outs, scr = rest[:ns + 3], rest[ns + 3:]
+    or_ref, oi_ref, ft_ref = outs[0], outs[1], outs[2]
+
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     tt = zr_ref.shape[0]
@@ -45,15 +53,21 @@ def _kernel(params_ref, zr_ref, zi_ref, phase0_ref, freq0_ref,
     beta = params_ref[1]
     min_freq = params_ref[2]
     max_freq = params_ref[3]
+    if gear:
+        alpha_trk = params_ref[4]
+        beta_trk = params_ref[5]
+        gamma = params_ref[6]
+        enter = params_ref[7]
+        exit_ = params_ref[8]
 
     @pl.when(j == 0)
     def _():
-        phase_s[:] = phase0_ref[:]
-        freq_s[:] = freq0_ref[:]
+        for s_ref, in_ref in zip(scr, ins):
+            s_ref[:] = in_ref[:]
 
     def step(t, carry):
-        phase = phase_s[:]
-        freq = freq_s[:]
+        phase = scr[0][:]
+        freq = scr[1][:]
         zr = zr_ref[pl.ds(t, 1), :]     # (1, CT) row
         zi = zi_ref[pl.ds(t, 1), :]
         # derotate by the *current* phase (qpsk.c:197)
@@ -63,13 +77,36 @@ def _kernel(params_ref, zr_ref, zi_ref, phase0_ref, freq0_ref,
         outi = zi * c - zr * s
         or_ref[pl.ds(t, 1), :] = outr
         oi_ref[pl.ds(t, 1), :] = outi
+        if gear:
+            # re-read the STORED derotation so the errn path consumes the
+            # very bits the output (and the scan twin) sees: XLA otherwise
+            # duplicates the outr/outi computation into separate fusions
+            # whose multiply-adds FMA-contract differently — a 1-ULP lev
+            # drift vs the scan (the store/load round-trips through the
+            # ref, which fusion cannot fold; see costas_step_gear)
+            outr = or_ref[pl.ds(t, 1), :]
+            outi = oi_ref[pl.ds(t, 1), :]
         # decision-directed error (costas_loop.c:44-47)
         sr = jnp.where(outr > 0.0, 1.0, -1.0).astype(jnp.float32)
         si = jnp.where(outi > 0.0, 1.0, -1.0).astype(jnp.float32)
         err = sr * outi - si * outr
+        if gear:
+            # lock detector + gear select (ops/costas.py costas_step_gear)
+            errn = jnp.abs(err) / (jnp.abs(outr) + jnp.abs(outi)
+                                   + jnp.float32(1e-9))
+            lev = scr[2][:] + gamma * (errn - scr[2][:])
+            locked = jnp.where(lev < enter, jnp.float32(1.0),
+                               jnp.where(lev > exit_, jnp.float32(0.0),
+                                         scr[3][:]))
+            a = jnp.where(locked > 0.5, alpha_trk, alpha)
+            b = jnp.where(locked > 0.5, beta_trk, beta)
+            scr[2][:] = lev
+            scr[3][:] = locked
+        else:
+            a, b = alpha, beta
         # advance (costas_loop.c:56-59), wrap, clamp
-        freq = freq + beta * err
-        phase = (phase + freq) + alpha * err
+        freq = freq + b * err
+        phase = (phase + freq) + a * err
         tau = jnp.float32(TAU)
         phase = jnp.where(phase > tau, phase - tau, phase)
         phase = jnp.where(phase > tau, phase - tau, phase)
@@ -77,8 +114,8 @@ def _kernel(params_ref, zr_ref, zi_ref, phase0_ref, freq0_ref,
         phase = jnp.where(phase < -tau, phase + tau, phase)
         freq = jnp.clip(freq, min_freq, max_freq)
         ft_ref[pl.ds(t, 1), :] = freq    # post-update trace (qpsk.c:217)
-        phase_s[:] = phase
-        freq_s[:] = freq
+        scr[0][:] = phase
+        scr[1][:] = freq
         return carry
 
     # Mosaic supports only unroll=1 or full unroll for fori_loop
@@ -86,16 +123,19 @@ def _kernel(params_ref, zr_ref, zi_ref, phase0_ref, freq0_ref,
 
     @pl.when(j == nj - 1)
     def _():
-        phase_out_ref[:] = phase_s[:]
-        freq_out_ref[:] = freq_s[:]
+        for s_ref, out_ref in zip(scr, outs[3:]):
+            out_ref[:] = s_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("ct", "tt", "interpret"))
-def _costas_pallas_tc(zr, zi, phase0, freq0, params_vec,
-                      ct: int, tt: int, interpret: bool = False):
-    """Time-major kernel launch: zr/zi are (T, C)."""
+@functools.partial(jax.jit, static_argnames=("ct", "tt", "gear", "interpret"))
+def _costas_pallas_tc(zr, zi, state0, params_vec,
+                      ct: int, tt: int, gear: bool = False,
+                      interpret: bool = False):
+    """Time-major kernel launch: zr/zi are (T, C); state0 = tuple of (C,)
+    state planes (phase, freq[, lev, locked])."""
     t, c = zr.shape
     grid = (c // ct, t // tt)
+    ns = len(state0)
 
     state_spec = pl.BlockSpec((1, ct), lambda i, j: (0, i),
                               memory_space=pltpu.VMEM)
@@ -106,25 +146,20 @@ def _costas_pallas_tc(zr, zi, phase0, freq0, params_vec,
         jax.ShapeDtypeStruct((t, c), jnp.float32),   # out re
         jax.ShapeDtypeStruct((t, c), jnp.float32),   # out im
         jax.ShapeDtypeStruct((t, c), jnp.float32),   # freq trace
-        jax.ShapeDtypeStruct((1, c), jnp.float32),   # final phase
-        jax.ShapeDtypeStruct((1, c), jnp.float32),   # final freq
-    )
+    ) + (jax.ShapeDtypeStruct((1, c), jnp.float32),) * ns   # final state
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, gear=gear),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # params (4,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # params (4,) / (9,)
             block_spec, block_spec,                   # z planes
-            state_spec, state_spec,                   # initial phase/freq
-        ],
-        out_specs=(block_spec, block_spec, block_spec, state_spec, state_spec),
+        ] + [state_spec] * ns,                        # initial state
+        out_specs=(block_spec, block_spec, block_spec)
+        + (state_spec,) * ns,
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((1, ct), jnp.float32),
-            pltpu.VMEM((1, ct), jnp.float32),
-        ],
+        scratch_shapes=[pltpu.VMEM((1, ct), jnp.float32)] * ns,
         interpret=interpret,
-    )(params_vec, zr, zi, phase0[None, :], freq0[None, :])
+    )(params_vec, zr, zi, *(p[None, :] for p in state0))
 
 
 def _pick_tiles(c: int, t: int):
@@ -146,30 +181,49 @@ def _pick_tiles(c: int, t: int):
 
 
 def costas_run_pallas(state: CostasState, symbols: CF32,
-                      params: CostasParams, interpret: bool = False):
+                      params: CostasParams, gear: CostasGear | None = None,
+                      interpret: bool = False):
     """Drop-in replacement for ``costas_run`` on (C, T) symbol batches.
 
     Requires C a multiple of 128 (lane width).  Returns the same
     (new_state, derotated) pair; trajectories match the scan bit-for-bit.
+    Pass ``gear`` (with a gear-initialized state, ``costas_init(...,
+    gear=True)``) for the dual-bandwidth loop — matches
+    ``costas_run_gear`` bit-for-bit.
     """
-    st, out, _ = costas_run_pallas_traced(state, symbols, params,
+    st, out, _ = costas_run_pallas_traced(state, symbols, params, gear=gear,
                                           interpret=interpret)
     return st, out
 
 
 def costas_run_pallas_traced(state: CostasState, symbols: CF32,
-                             params: CostasParams, interpret: bool = False):
-    """Pallas twin of ``costas_run_traced``: also returns the per-symbol
-    post-update frequency trace (rad/symbol)."""
+                             params: CostasParams,
+                             gear: CostasGear | None = None,
+                             interpret: bool = False):
+    """Pallas twin of ``costas_run_traced`` / ``costas_run_gear_traced``:
+    also returns the per-symbol post-update frequency trace (rad/symbol)."""
     c, t = symbols.re.shape
     assert c % 128 == 0, f"channel count {c} must be a multiple of 128"
     ct, tt = _pick_tiles(c, t)
-    params_vec = jnp.stack([params.alpha, params.beta,
-                            params.min_freq, params.max_freq])
+    base = [params.alpha, params.beta, params.min_freq, params.max_freq]
+    if gear is not None:
+        assert state.lev is not None and state.locked is not None, \
+            "gear mode needs costas_init(..., gear=True) state"
+        params_vec = jnp.stack(base + [gear.alpha_trk, gear.beta_trk,
+                                       gear.gamma, gear.enter, gear.exit])
+        state0 = (state.phase, state.freq, state.lev, state.locked)
+    else:
+        params_vec = jnp.stack(base)
+        state0 = (state.phase, state.freq)
     zr = symbols.re.T
     zi = symbols.im.T
-    outr, outi, ftrace, phase, freq = _costas_pallas_tc(
-        zr, zi, state.phase, state.freq, params_vec, ct=ct, tt=tt,
-        interpret=interpret)
-    return (CostasState(phase=phase[0], freq=freq[0]),
-            CF32(outr.T, outi.T), ftrace.T)
+    out = _costas_pallas_tc(zr, zi, state0, params_vec, ct=ct, tt=tt,
+                            gear=gear is not None, interpret=interpret)
+    outr, outi, ftrace = out[:3]
+    fin = [p[0] for p in out[3:]]
+    if gear is not None:
+        new_state = CostasState(phase=fin[0], freq=fin[1],
+                                lev=fin[2], locked=fin[3])
+    else:
+        new_state = CostasState(phase=fin[0], freq=fin[1])
+    return new_state, CF32(outr.T, outi.T), ftrace.T

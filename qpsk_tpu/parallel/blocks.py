@@ -94,7 +94,12 @@ def rx_stream_blockparallel(cfg: ModemConfig, pcm: jnp.ndarray,
     f_hz = acquire.acquire_freq_hz(heads, cfg.fs, nfft=nfft)
     freq0 = jnp.clip(acquire.hz_to_costas_freq(f_hz, cfg.rs),
                      cfg.min_freq, cfg.max_freq)
-    cstate = costas_ops.CostasState(phase=freq0 * 0.0, freq=freq0)
+    gear = (costas_ops.costas_gear(cfg.loop_bw_track, cfg.damping)
+            if cfg.loop_bw_track > 0 else None)
+    cstate = costas_ops.CostasState(
+        phase=freq0 * 0.0, freq=freq0,
+        lev=freq0 * 0.0 + 1.0 if gear is not None else None,
+        locked=freq0 * 0.0 if gear is not None else None)
 
     params = costas_ops.costas_params(cfg.loop_bw, cfg.damping,
                                       cfg.min_freq, cfg.max_freq)
@@ -103,7 +108,11 @@ def rx_stream_blockparallel(cfg: ModemConfig, pcm: jnp.ndarray,
         and nblocks % 128 == 0)
     if use_pallas:
         from qpsk_tpu.ops.pallas import costas_kernel
-        cstate, derot = costas_kernel.costas_run_pallas(cstate, zb, params)
+        cstate, derot = costas_kernel.costas_run_pallas(cstate, zb, params,
+                                                        gear=gear)
+    elif gear is not None:
+        cstate, derot = costas_ops.costas_run_gear(cstate, zb, params, gear,
+                                                   unroll=8)
     else:
         cstate, derot = costas_ops.costas_run(cstate, zb, params, unroll=8)
 

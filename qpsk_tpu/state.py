@@ -51,7 +51,8 @@ def rx_init(cfg: ModemConfig, batch_shape=(), acq_freq=0.0) -> RxState:
     return RxState(
         fir_tail=fir_init_tail(cfg.ntaps, batch_shape),
         nco_phase=nco_init(batch_shape),
-        costas=costas_init(batch_shape, freq=acq_freq),
+        costas=costas_init(batch_shape, freq=acq_freq,
+                           gear=cfg.loop_bw_track > 0),
         decim_delay=czeros(batch_shape + (cfg.symbols_per_frame,)),
         diff_prev=diff_rx_init(batch_shape) if cfg.differential else None,
         timing=(timing_track_init(batch_shape)
