@@ -12,10 +12,12 @@ Measurement discipline (matters on tunneled/remote TPU backends):
   ``np.asarray`` of a full output would measure the transfer;
 * iterations chain the state pytree so XLA cannot overlap them.
 
-Measured on one TPU v5e chip (2026-08-17): **19.0 Gsamples/s** at 2048
-channels — ~1500x the 12.5 MS/s per-chip share of the BASELINE 100 MS/s
+Measured on one TPU v5e chip (2026-08-17): **20.6 Gsamples/s** at 2048
+channels — ~1650x the 12.5 MS/s per-chip share of the BASELINE 100 MS/s
 v5e-8 target (8.1 GS/s with the staged XLA front-end; the fused Pallas
-front-end kernel moved the front-end from 10.1 to 23.5 GS/s).  Two
+front-end kernel runs 32.0 GS/s standalone after the chunked-Toeplitz +
+scratch-halo + in-kernel-index round, the fused Costas kernel 46.8 GS/s
+at 2048 channels x 2048 symbols).  Two
 things matter equally: the fused rx_stream path (one Pallas front-end
 kernel + a single Pallas Costas kernel with the channel batch on the
 lanes), and amortizing the relayed backend's ~1.8 ms per-launch cost

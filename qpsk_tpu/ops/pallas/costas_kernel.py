@@ -9,12 +9,13 @@ Mosaic kernel: a ``fori_loop`` over symbols with the batch of channels on
 the VPU lanes, state held in VMEM scratch, symbol blocks streamed by the
 Pallas pipeline.
 
-Layout: time-major ``(T, C)`` with channels on the minor (lane) axis, so
-each step reads/writes one sublane row — contiguous lanes, no transposes
-inside the loop.  The grid is ``(C // CT, T // TT)``; TPU grids execute
-sequentially with the last axis fastest, so per-channel-tile state persists
-in scratch across the T tiles (initialized at j == 0, flushed at the last
-j).
+Layout: time-major with the C channels of each step folded into ``sg``
+sublane rows of ``C/sg`` lanes (``(T*sg, C/sg)`` planes) — a ``(1, C)``
+step row would light up only one of the 8 sublanes in every vreg, wasting
+7/8 of the VPU (folding measured 2.4x on v5e at 2048 channels).  The grid
+is ``(L // LT, T // TT)``; TPU grids execute sequentially with the last
+axis fastest, so per-lane-tile state persists in scratch across the T
+tiles (initialized at j == 0, flushed at the last j).
 
 Semantics are bit-identical to ``costas_run`` (same op order as the C
 loop); tests assert exact agreement against the ``lax.scan`` version in
@@ -34,12 +35,17 @@ from qpsk_tpu.ops.costas import CostasGear, CostasParams, CostasState, TAU
 from qpsk_tpu.ops.cplx import CF32
 
 
-def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool):
+def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int):
     # ref layout (gear fields only when gear=True):
     #   inputs:  phase0, freq0, [lev0, locked0]
     #   outputs: out_re, out_im, freq_trace, phase_out, freq_out,
     #            [lev_out, locked_out]
     #   scratch: phase_s, freq_s, [lev_s, locked_s]
+    # Channel groups ride the SUBLANES: each time step's row block is
+    # (sg, LT) — sg channel groups x LT lanes — so every VPU op uses all
+    # 8 sublanes of its vregs instead of 1/8 of a (1, C) row (measured
+    # 2.4x on v5e at 2048 channels; the recurrence itself stays strictly
+    # sequential over time).
     ns = 4 if gear else 2
     ins, rest = refs[:ns], refs[ns:]
     outs, scr = rest[:ns + 3], rest[ns + 3:]
@@ -47,7 +53,7 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool):
 
     j = pl.program_id(1)
     nj = pl.num_programs(1)
-    tt = zr_ref.shape[0]
+    tt = zr_ref.shape[0] // sg
 
     alpha = params_ref[0]
     beta = params_ref[1]
@@ -68,15 +74,15 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool):
     def step(t, carry):
         phase = scr[0][:]
         freq = scr[1][:]
-        zr = zr_ref[pl.ds(t, 1), :]     # (1, CT) row
-        zi = zi_ref[pl.ds(t, 1), :]
+        zr = zr_ref[pl.ds(t * sg, sg), :]     # (sg, LT) channel-group rows
+        zi = zi_ref[pl.ds(t * sg, sg), :]
         # derotate by the *current* phase (qpsk.c:197)
         c = jnp.cos(phase)
         s = jnp.sin(phase)
         outr = zr * c + zi * s          # z * e^{-j phase}
         outi = zi * c - zr * s
-        or_ref[pl.ds(t, 1), :] = outr
-        oi_ref[pl.ds(t, 1), :] = outi
+        or_ref[pl.ds(t * sg, sg), :] = outr
+        oi_ref[pl.ds(t * sg, sg), :] = outi
         if gear:
             # re-read the STORED derotation so the errn path consumes the
             # very bits the output (and the scan twin) sees: XLA otherwise
@@ -84,8 +90,8 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool):
             # whose multiply-adds FMA-contract differently — a 1-ULP lev
             # drift vs the scan (the store/load round-trips through the
             # ref, which fusion cannot fold; see costas_step_gear)
-            outr = or_ref[pl.ds(t, 1), :]
-            outi = oi_ref[pl.ds(t, 1), :]
+            outr = or_ref[pl.ds(t * sg, sg), :]
+            outi = oi_ref[pl.ds(t * sg, sg), :]
         # decision-directed error (costas_loop.c:44-47)
         sr = jnp.where(outr > 0.0, 1.0, -1.0).astype(jnp.float32)
         si = jnp.where(outi > 0.0, 1.0, -1.0).astype(jnp.float32)
@@ -113,13 +119,24 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool):
         phase = jnp.where(phase < -tau, phase + tau, phase)
         phase = jnp.where(phase < -tau, phase + tau, phase)
         freq = jnp.clip(freq, min_freq, max_freq)
-        ft_ref[pl.ds(t, 1), :] = freq    # post-update trace (qpsk.c:217)
+        ft_ref[pl.ds(t * sg, sg), :] = freq  # post-update trace (qpsk.c:217)
         scr[0][:] = phase
         scr[1][:] = freq
         return carry
 
-    # Mosaic supports only unroll=1 or full unroll for fori_loop
-    jax.lax.fori_loop(0, tt, step, 0, unroll=1)
+    # manual unroll: lax.fori_loop in Mosaic supports only unroll=1 or
+    # full; a Python sub-loop amortizes the per-iteration control overhead
+    # over U recurrence steps (the math chain itself stays serial)
+    u = 4
+    while tt % u:
+        u //= 2
+
+    def step_u(tu, carry):
+        for k in range(u):
+            step(tu * u + k, carry)
+        return carry
+
+    jax.lax.fori_loop(0, tt // u, step_u, 0, unroll=1)
 
     @pl.when(j == nj - 1)
     def _():
@@ -127,28 +144,31 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool):
             out_ref[:] = s_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("ct", "tt", "gear", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sg", "lt", "tt", "gear",
+                                             "interpret"))
 def _costas_pallas_tc(zr, zi, state0, params_vec,
-                      ct: int, tt: int, gear: bool = False,
+                      sg: int, lt: int, tt: int, gear: bool = False,
                       interpret: bool = False):
-    """Time-major kernel launch: zr/zi are (T, C); state0 = tuple of (C,)
-    state planes (phase, freq[, lev, locked])."""
-    t, c = zr.shape
-    grid = (c // ct, t // tt)
+    """Time-major kernel launch: zr/zi are (T*sg, C/sg) — each time step's
+    C channels folded into sg sublane rows of L = C/sg lanes; state0 =
+    tuple of (sg, L) state planes (phase, freq[, lev, locked])."""
+    tsg, ll = zr.shape
+    t = tsg // sg
+    grid = (ll // lt, t // tt)
     ns = len(state0)
 
-    state_spec = pl.BlockSpec((1, ct), lambda i, j: (0, i),
+    state_spec = pl.BlockSpec((sg, lt), lambda i, j: (0, i),
                               memory_space=pltpu.VMEM)
-    block_spec = pl.BlockSpec((tt, ct), lambda i, j: (j, i),
+    block_spec = pl.BlockSpec((tt * sg, lt), lambda i, j: (j, i),
                               memory_space=pltpu.VMEM)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((t, c), jnp.float32),   # out re
-        jax.ShapeDtypeStruct((t, c), jnp.float32),   # out im
-        jax.ShapeDtypeStruct((t, c), jnp.float32),   # freq trace
-    ) + (jax.ShapeDtypeStruct((1, c), jnp.float32),) * ns   # final state
+        jax.ShapeDtypeStruct((tsg, ll), jnp.float32),   # out re
+        jax.ShapeDtypeStruct((tsg, ll), jnp.float32),   # out im
+        jax.ShapeDtypeStruct((tsg, ll), jnp.float32),   # freq trace
+    ) + (jax.ShapeDtypeStruct((sg, ll), jnp.float32),) * ns   # final state
     return pl.pallas_call(
-        functools.partial(_kernel, gear=gear),
+        functools.partial(_kernel, gear=gear, sg=sg),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # params (4,) / (9,)
@@ -157,27 +177,32 @@ def _costas_pallas_tc(zr, zi, state0, params_vec,
         out_specs=(block_spec, block_spec, block_spec)
         + (state_spec,) * ns,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((1, ct), jnp.float32)] * ns,
+        scratch_shapes=[pltpu.VMEM((sg, lt), jnp.float32)] * ns,
         interpret=interpret,
-    )(params_vec, zr, zi, *(p[None, :] for p in state0))
+    )(params_vec, zr, zi, *state0)
 
 
 def _pick_tiles(c: int, t: int):
-    # widest channel tile wins: the per-step cost is loop/VMEM-issue
-    # overhead, not VPU compute, so it amortizes across lanes (measured on
-    # v5e: ct 512→2048 cut us/step from 1.67 to 1.44; the channel-tile grid
-    # axis is OUTER-sequential, so channels beyond ct multiply wall time
-    # linearly — keep ct as wide as VMEM allows)
-    ct = 128
-    while ct * 2 <= min(c, 8192) and c % (ct * 2) == 0:
-        ct *= 2
+    # Fold channels onto sublanes first (sg rows of L = c/sg lanes — a
+    # (1, C) step row uses 1/8 of every vreg; (8, C/8) uses all of it),
+    # then the widest lane tile wins: the per-step cost is loop/VMEM-issue
+    # overhead, not VPU compute, so it amortizes across lanes.  The
+    # lane-tile grid axis is OUTER-sequential, so lanes beyond lt multiply
+    # wall time linearly — keep lt as wide as VMEM allows.
+    sg = 8
+    while sg > 1 and c % (sg * 128) != 0:
+        sg //= 2
+    ll = c // sg
+    lt = 128
+    while lt * 2 <= min(ll, 1024) and ll % (lt * 2) == 0:
+        lt *= 2
     tt = t
     # stream T in tiles that keep the VMEM working set modest (~4 buffers
-    # of (tt, ct) f32 for in/out planes, double-buffered by the pipeline)
-    max_tt = max(8, (2 * 1024 * 1024) // (ct * 4 * 4))
+    # of (tt*sg, lt) f32 for in/out planes, double-buffered)
+    max_tt = max(8, (2 * 1024 * 1024) // (sg * lt * 4 * 4))
     while tt > max_tt and tt % 2 == 0:
         tt //= 2
-    return ct, tt
+    return sg, lt, tt
 
 
 def costas_run_pallas(state: CostasState, symbols: CF32,
@@ -204,7 +229,8 @@ def costas_run_pallas_traced(state: CostasState, symbols: CF32,
     also returns the per-symbol post-update frequency trace (rad/symbol)."""
     c, t = symbols.re.shape
     assert c % 128 == 0, f"channel count {c} must be a multiple of 128"
-    ct, tt = _pick_tiles(c, t)
+    sg, lt, tt = _pick_tiles(c, t)
+    ll = c // sg
     base = [params.alpha, params.beta, params.min_freq, params.max_freq]
     if gear is not None:
         assert state.lev is not None and state.locked is not None, \
@@ -215,15 +241,19 @@ def costas_run_pallas_traced(state: CostasState, symbols: CF32,
     else:
         params_vec = jnp.stack(base)
         state0 = (state.phase, state.freq)
-    zr = symbols.re.T
-    zi = symbols.im.T
-    out = _costas_pallas_tc(zr, zi, state0, params_vec, ct=ct, tt=tt,
+    # fold channels onto sublanes: (C, T) -> (T, C) -> (T*sg, C/sg), with
+    # channel ch = s*L + l on sublane-group s, lane l (plain reshapes; the
+    # state planes fold with the same bijection)
+    zr = symbols.re.T.reshape(t * sg, ll)
+    zi = symbols.im.T.reshape(t * sg, ll)
+    state0 = tuple(p.reshape(sg, ll) for p in state0)
+    out = _costas_pallas_tc(zr, zi, state0, params_vec, sg=sg, lt=lt, tt=tt,
                             gear=gear is not None, interpret=interpret)
-    outr, outi, ftrace = out[:3]
-    fin = [p[0] for p in out[3:]]
+    outr, outi, ftrace = (a.reshape(t, c).T for a in out[:3])
+    fin = [p.reshape(c) for p in out[3:]]
     if gear is not None:
         new_state = CostasState(phase=fin[0], freq=fin[1],
                                 lev=fin[2], locked=fin[3])
     else:
         new_state = CostasState(phase=fin[0], freq=fin[1])
-    return new_state, CF32(outr.T, outi.T), ftrace.T
+    return new_state, CF32(outr, outi), ftrace

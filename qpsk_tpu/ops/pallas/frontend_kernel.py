@@ -48,19 +48,22 @@ _HALO = 128
 
 
 def _kernel(base_r_ref, base_i_ref, tmat_ref, ramp_ref,
-            phase0_ref, tail_ref, body_ref, prev_ref, pr_ref, pi_ref,
-            eng_ref, *, gain: float, pcm_scale: float, cycles: int, g: int):
+            phase0_ref, tail_ref, body_ref, pr_ref, pi_ref,
+            idx_ref, halo_s, *, gain: float, pcm_scale: float, cycles: int,
+            g: int):
     j = pl.program_id(1)
     b = body_ref.shape[1]
     ct = body_ref.shape[0]
     inv = jnp.float32(1.0 / pcm_scale)
 
-    # raw f32 window: halo (previous block's last 128 raw samples, or the
-    # carried tail for block 0) + this block's body
+    # raw f32 window: halo (previous block's last 128 raw samples, carried
+    # in VMEM scratch — the time-tile grid axis is sequential, so the
+    # scratch persists across j; re-reading the previous PCM block from
+    # HBM would double the int16 traffic) + this block's body
     body = body_ref[:, :].astype(jnp.float32) * inv
-    halo_prev = prev_ref[:, b - _HALO:].astype(jnp.float32) * inv
-    halo = jnp.where(j == 0, tail_ref[:, :], halo_prev)
+    halo = jnp.where(j == 0, tail_ref[:, :], halo_s[:, :])
     x = jnp.concatenate([halo, body], axis=1)            # (CT, B + 128)
+    halo_s[:, :] = body[:, b - _HALO:]
 
     # per-(channel, sample) mix phasor: phase0 (x) base_j (x) ramp[p]
     # (base_j comes from SMEM — grid-indexed scalars live there)
@@ -72,31 +75,49 @@ def _kernel(base_r_ref, base_i_ref, tmat_ref, ramp_ref,
     mr = x * (cr * rr - ci * ri)                         # mixed re (CT, W)
     mi = x * (cr * ri + ci * rr)                         # mixed im
 
-    # matched filter + decimation in one: per decimation phase p, the
-    # Toeplitz columns p::cycles form a (W, g*nsym) matrix whose matmul IS
-    # the filtered signal already decimated at phase p.  Same total MXU
-    # work as the full matmul, no lane-splitting reshape (Mosaic can't
-    # shape-cast (CT, B) -> (CT, nsym, cycles)), and the undecimated
-    # signal is never materialized, even in VMEM.  Each grid step covers
-    # ``g`` modem frames (g = 128 // symbols_per_frame keeps the picks
-    # lane-dim on the 128 granule for small frames, e.g. 1200 baud).
+    # matched filter + decimation in one, CHUNKED against the Toeplitz
+    # structural zeros: the band matrix only has 128 nonzero rows per
+    # output column, so the dense (W, B) matmul wastes (B+128)/127 ~ 5x
+    # of its MACs at B=512 (9x at the 1200-baud grouping).  Splitting the
+    # outputs into K chunks of ``cw`` samples, each contracting only its
+    # own (cw + 128)-row band, cuts the waste to (cw+128)/127 ~ 2x at
+    # cw=128 while keeping every matmul a full (CT, cw+128) x (cw+128, cw)
+    # tile.  Chunk columns are phase-major (phase p's cw/cycles symbols
+    # contiguous) so the per-phase decimated signal reassembles as a
+    # static lane concat — the undecimated signal is never materialized
+    # and no lane-splitting reshape is needed (Mosaic can't shape-cast
+    # (CT, B) -> (CT, nsym, cycles)).  Each grid step covers ``g`` modem
+    # frames (g = 128 // symbols_per_frame keeps the picks lane-dim on
+    # the 128 granule for small frames, e.g. 1200 baud).
     # Per-frame energies and the phase selection stay on the VPU in full
     # f32 (static iota frame masks + full-width reductions): routing them
     # through an MXU segment matmul truncates the operands to bf16 and the
     # near-tie phase energies then argmax differently from the XLA chain
     # (measured: ~27 % of frames pick a different phase on v5e).
     gn = jnp.float32(gain)
-    gnsym = tmat_ref.shape[2]
+    nchunks, cw = tmat_ref.shape[0], tmat_ref.shape[2]
+    mc = cw // cycles                                    # symbols/chunk/phase
+    gnsym = nchunks * mc                                 # symbols per block
     nsym = gnsym // g
+    chunks_r, chunks_i = [], []
+    for k in range(nchunks):
+        xw_r = mr[:, k * cw:k * cw + cw + _HALO]         # (CT, cw + 128)
+        xw_i = mi[:, k * cw:k * cw + cw + _HALO]
+        tk = tmat_ref[k]                                 # (cw + 128, cw)
+        chunks_r.append(
+            jnp.dot(xw_r, tk, preferred_element_type=jnp.float32) * gn)
+        chunks_i.append(
+            jnp.dot(xw_i, tk, preferred_element_type=jnp.float32) * gn)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, gnsym), 1)
     masks = [jnp.where((lane >= f * nsym) & (lane < (f + 1) * nsym),
                        1.0, 0.0).astype(jnp.float32) for f in range(g)]
     yrs, yis, es = [], [], []
     for p in range(cycles):
-        tp = tmat_ref[p]                                 # (W, g*nsym)
-        yr = jnp.dot(mr, tp, preferred_element_type=jnp.float32) * gn
-        yi = jnp.dot(mi, tp, preferred_element_type=jnp.float32) * gn
-        yrs.append(yr)
+        yr = jnp.concatenate(
+            [c[:, p * mc:(p + 1) * mc] for c in chunks_r], axis=1)
+        yi = jnp.concatenate(
+            [c[:, p * mc:(p + 1) * mc] for c in chunks_i], axis=1)
+        yrs.append(yr)                                   # (CT, g*nsym)
         yis.append(yi)
         e = yr * yr + yi * yi
         es.append(jnp.concatenate(
@@ -111,9 +132,11 @@ def _kernel(base_r_ref, base_i_ref, tmat_ref, ramp_ref,
     taken = jnp.zeros((ct, g), jnp.float32)
     pr = jnp.zeros_like(yrs[0])
     pi = jnp.zeros_like(yis[0])
+    idxf = jnp.zeros((ct, g), jnp.float32)
     for p in range(cycles):
         s = jnp.where(es[p] >= emax, 1.0, 0.0) * (1.0 - taken)  # (CT, g)
         taken = taken + s
+        idxf = idxf + jnp.float32(p) * s
         sx = masks[0] * s[:, 0:1]                        # (CT, g*nsym)
         for f in range(1, g):
             sx = sx + masks[f] * s[:, f:f + 1]
@@ -121,25 +144,39 @@ def _kernel(base_r_ref, base_i_ref, tmat_ref, ramp_ref,
         pi = pi + sx * yis[p]
     pr_ref[:, :] = pr
     pi_ref[:, :] = pi
-    # energies in the first cycles*g lanes (phase-major), zero-padded to
-    # the 128-lane granule (timing index = argmax outside)
-    eng_ref[:, :] = jnp.concatenate(
-        es + [jnp.zeros((ct, 128 - cycles * g), jnp.float32)], axis=1)
+    # the selected phase per frame, already resolved by the first-wins
+    # one-hot above, in the first g lanes (zero-padded to the 128-lane
+    # Mosaic block granule) — the host just slices and casts, instead of
+    # re-reading a full energy vector and argmaxing it
+    idx_ref[:, :] = jnp.concatenate(
+        [idxf, jnp.zeros((ct, 128 - g), jnp.float32)], axis=1)
 
 
 @functools.lru_cache(maxsize=None)
-def _tables(taps_key: tuple, block: int, omega: float, cycles: int):
-    """(tmat, ramp) static constants: the per-phase 128-halo Toeplitz tap
-    stack ``tmat[p] = T[:, p::cycles]`` (each phase's matmul is the
-    filtered-and-decimated signal at that phase) and the within-window
-    mix-phasor table r[p] = exp(j*omega*(p - 127)), f64-designed."""
+def _tables(taps_key: tuple, block: int, omega: float, cycles: int,
+            cw: int):
+    """(tmat, ramp) static constants.
+
+    ``tmat[k]`` is output chunk k's (cw + 128, cw) slice of the banded
+    Toeplitz matrix: rows are the chunk's own 128-halo input window, and
+    the columns are the chunk's cw output samples reordered PHASE-MAJOR
+    (phase p's cw/cycles symbols contiguous), so each chunk matmul is the
+    filtered signal of that window already grouped by decimation phase.
+    ``cw == block`` degenerates to the round-1 dense layout (one chunk,
+    all structural zeros); ``cw == 256`` is the measured v5e sweet spot
+    (cw=128 halves the waste again but loses more to slicing overhead).
+    ``ramp`` is the within-window mix-phasor table
+    r[p] = exp(j*omega*(p - 127)), f64-designed."""
     from qpsk_tpu.ops.rrc import toeplitz_taps
     taps = np.asarray(taps_key, np.float32)
     pad = _HALO - (taps.shape[0] - 1)
     assert pad >= 0, "ntaps too large for the 128 halo"
+    assert block % cw == 0 and cw % cycles == 0, (block, cw, cycles)
     full = toeplitz_taps(np.concatenate([np.zeros(pad, np.float32), taps]),
                          block)
-    tmat = np.stack([full[:, p::cycles] for p in range(cycles)])
+    cols = np.concatenate([np.arange(p, cw, cycles) for p in range(cycles)])
+    tmat = np.stack([full[k * cw:k * cw + cw + _HALO][:, k * cw + cols]
+                     for k in range(block // cw)])
     p = np.arange(block + _HALO, dtype=np.float64) - (_HALO - 1)
     ang = omega * p
     ramp = np.stack([np.cos(ang), np.sin(ang)]).astype(np.float32)
@@ -155,13 +192,13 @@ def _bases(omega: float, nb: int, block: int) -> np.ndarray:
 
 @functools.partial(
     jax.jit, static_argnames=("taps_key", "block", "ct", "gain", "pcm_scale",
-                              "cycles", "g", "omega", "interpret"))
+                              "cycles", "g", "omega", "cw", "interpret"))
 def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
                  gain: float, pcm_scale: float, cycles: int, g: int,
-                 omega: float, interpret: bool = False):
+                 omega: float, cw: int, interpret: bool = False):
     c, n = pcm.shape
     nb = n // block
-    tmat_np, ramp_np = _tables(taps_key, block, omega, cycles)
+    tmat_np, ramp_np = _tables(taps_key, block, omega, cycles, cw)
     tmat = jnp.asarray(tmat_np)
     ramp = jnp.asarray(ramp_np)
     bases_np = _bases(omega, nb, block)
@@ -171,22 +208,19 @@ def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
     grid = (c // ct, nb)
     body_spec = pl.BlockSpec((ct, block), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
-    prev_spec = pl.BlockSpec((ct, block),
-                             lambda i, j: (i, jnp.maximum(j - 1, 0)),
-                             memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, gain=gain, pcm_scale=pcm_scale,
                              cycles=cycles, g=g)
     gnsym = block // cycles
     out_shape = (jax.ShapeDtypeStruct((c, n // cycles), jnp.float32),
                  jax.ShapeDtypeStruct((c, n // cycles), jnp.float32),
                  jax.ShapeDtypeStruct((c, nb * 128), jnp.float32))
-    pr, pi, eng = pl.pallas_call(
+    pr, pi, idxf = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((cycles, block + _HALO, gnsym),
+            pl.BlockSpec((block // cw, cw + _HALO, cw),
                          lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, block + _HALO), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -195,7 +229,6 @@ def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
             pl.BlockSpec((ct, _HALO), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             body_spec,
-            prev_spec,
         ],
         out_specs=(
             pl.BlockSpec((ct, gnsym), lambda i, j: (i, j),
@@ -206,12 +239,11 @@ def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((ct, _HALO), jnp.float32)],
         interpret=interpret,
-    )(bases_r, bases_i, tmat, ramp, phase0, tail_raw, pcm, pcm)
-    # phase-major energy lanes -> per-frame argmax: (c, nb, cycles, g)
-    e = eng.reshape(c, nb, 128)[..., :cycles * g].reshape(c, nb, cycles, g)
-    idx = jnp.argmax(e, axis=-2).astype(jnp.int32).reshape(c, nb * g)
-    return pr, pi, idx
+    )(bases_r, bases_i, tmat, ramp, phase0, tail_raw, pcm)
+    idx = idxf.reshape(c, nb, 128)[..., :g].astype(jnp.int32)
+    return pr, pi, idx.reshape(c, nb * g)
 
 
 def _group(cfg, fsz: int) -> int:
@@ -292,17 +324,33 @@ def rx_frontend_fused(cfg, pcm: jnp.ndarray, nco_phase: CF32,
 
     phase0 = jnp.stack([nco_phase.re, nco_phase.im], axis=1)  # (C, 2)
 
+    # measured on v5e (2048 ch x 16 frames): ct 256 beats 128 by ~10%
+    # (taller matmuls amortize fixed per-dot costs); 512 regresses and
+    # 1024 exceeds the 16 MB scoped-VMEM budget
     ct = 8
-    while ct * 2 <= min(c, 128) and c % (ct * 2) == 0:
+    while ct * 2 <= min(c, 256) and c % (ct * 2) == 0:
         ct *= 2
     g = _group(cfg, fsz)
     assert nframes % g == 0, (nframes, g)
     taps_key = tuple(np.asarray(taps_for(cfg)).tolist())
+    block = g * fsz
+    # chunk width: 256 output samples per matmul is the measured sweet
+    # spot on v5e — the (cw+128)/cw structural-zero waste drops 5x -> 1.5x
+    # vs the dense layout while the matmuls stay big enough to amortize
+    # per-dot fixed costs (cw=128 pays more in slicing than it saves in
+    # MACs; see _kernel).  Fall back to dense when the geometry doesn't
+    # tile.
+    if block % 256 == 0 and 256 % cfg.cycles == 0:
+        cw = 256
+    elif block % 128 == 0 and 128 % cfg.cycles == 0:
+        cw = 128
+    else:
+        cw = block
     prr, pii, idx = _frontend_2d(flat, tail128, phase0, taps_key,
-                                 block=g * fsz, ct=ct, gain=float(cfg.gain),
+                                 block=block, ct=ct, gain=float(cfg.gain),
                                  pcm_scale=float(cfg.pcm_scale),
                                  cycles=cfg.cycles, g=g, omega=float(omega),
-                                 interpret=interpret)
+                                 cw=cw, interpret=interpret)
     nsym = fsz // cfg.cycles
     picks = CF32(prr.reshape(c, nframes, nsym)[:c_in],
                  pii.reshape(c, nframes, nsym)[:c_in])

@@ -13,13 +13,16 @@ Pass structure priced per input sample per channel:
   (8 + 8/cycles B), input itself 2 B (int16) -> ~42 B/sample of HBM.
 * ``pallas`` (fused, ops/pallas/frontend_kernel.py): one kernel reads the
   int16 once (2 B) and writes picks (8/cycles B) + a 4*128/frame_size
-  energy sliver -> ~4.1 B/sample.
+  per-frame timing-index sliver -> ~4.1 B/sample.
 
-MXU work is identical in both (the banded Toeplitz matmul computes
-``2 planes x 2 x (B + halo) x B`` FLOPs per B-sample tile; only
-``2 x 2 x ntaps`` per sample is *useful* filter math — the structural-zero
-band overhead is the price of dense MXU tiling and is accounted
-separately as ``mfu_useful``).
+MXU work: each lowering's Toeplitz matmul computes
+``2 planes x 2 x (B + halo)`` FLOPs per output sample, where B is the
+matmul's output-column count — the full frame for the XLA path, the
+256-sample chunk width for the Pallas kernel (its chunked layout contracts
+only each chunk's own band, cutting the structural-zero waste from
+(frame+halo)/ntaps ~ 5x to (256+halo)/ntaps ~ 3x; only ``2 x 2 x ntaps``
+per sample is *useful* filter math, accounted separately as
+``mfu_useful``).
 
 Peaks are the v5e datasheet numbers (197 TFLOP/s bf16 matmul, 819 GB/s
 HBM).  The round-1 "relay-calibrated" figures (~95 TFLOP/s / ~163 GB/s)
@@ -58,12 +61,17 @@ def frontend_cost(cfg, channels: int, nframes: int,
     fsz = cfg.frame_size
     n = channels * nframes * fsz          # total samples
     halo = 128
-    block = fsz if impl == "pallas" else min(fsz, 512)
+    if impl == "pallas":
+        # chunked Toeplitz: each matmul contracts only its own
+        # (cw + halo)-row band (frontend_kernel.py), not the full window
+        block = 256 if (fsz % 256 == 0 and 256 % cfg.cycles == 0) else fsz
+    else:
+        block = min(fsz, 512)
 
     picks_bytes = 8.0 / cfg.cycles        # CF32 picks per sample
     if impl == "pallas":
-        eng_bytes = 4.0 * 128 / fsz       # padded energy sliver
-        per_sample = 2.0 + picks_bytes + eng_bytes
+        idx_bytes = 4.0 * 128 / fsz       # padded per-frame index sliver
+        per_sample = 2.0 + picks_bytes + idx_bytes
     elif impl == "xla":
         # int16 in, mix write, FIR read+write, energy read, decim read
         per_sample = 2.0 + 8.0 + 16.0 + 8.0 + 8.0 + picks_bytes

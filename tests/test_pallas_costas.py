@@ -43,11 +43,12 @@ def test_pallas_multi_tile_grid():
 
 
 def test_pallas_wide_channel_tile():
-    """The widened channel tile (ct up to 8192; one grid step for c=4096)
-    stays bit-exact against the scan — pins the round-1 tile-cap raise."""
+    """Wide channel counts fold onto all 8 sublanes in one grid step
+    (c=4096 -> sg=8 x 512 lanes) and stay bit-exact against the scan."""
     c, t = 4096, 16
     from qpsk_tpu.ops.pallas.costas_kernel import _pick_tiles
-    assert _pick_tiles(c, t)[0] == 4096
+    sg, lt, _ = _pick_tiles(c, t)
+    assert sg == 8 and sg * lt == 4096
     params = costas_ops.costas_params(0.0628)
     state = costas_ops.costas_init((c,), phase=0.1, freq=0.03)
     z = _random_symbols(c, t, seed=2)
