@@ -12,12 +12,12 @@ Measurement discipline (matters on tunneled/remote TPU backends):
   ``np.asarray`` of a full output would measure the transfer;
 * iterations chain the state pytree so XLA cannot overlap them.
 
-Measured on one TPU v5e chip (2026-08-17): **20.6 Gsamples/s** at 2048
-channels — ~1650x the 12.5 MS/s per-chip share of the BASELINE 100 MS/s
-v5e-8 target (8.1 GS/s with the staged XLA front-end; the fused Pallas
-front-end kernel runs 32.0 GS/s standalone after the chunked-Toeplitz +
-scratch-halo + in-kernel-index round, the fused Costas kernel 46.8 GS/s
-at 2048 channels x 2048 symbols).  Two
+Measured on one TPU v5e chip (2026-08-17): **21.2 Gsamples/s** at 2048
+channels — ~1700x the 12.5 MS/s per-chip share of the BASELINE 100 MS/s
+v5e-8 target.  The fused mix-free Pallas front-end kernel runs 34.4 GS/s
+standalone (chunked Toeplitz + scratch halo + modulated taps,
+ops/pallas/frontend_kernel.py) vs 8.8 GS/s for the staged XLA chain; the
+fused Costas kernel 46.8 GS/s at 2048 channels x 2048 symbols.  Two
 things matter equally: the fused rx_stream path (one Pallas front-end
 kernel + a single Pallas Costas kernel with the channel batch on the
 lanes), and amortizing the relayed backend's ~1.8 ms per-launch cost
@@ -181,12 +181,8 @@ def frontend_throughput(impl: str = "pallas", channels: int | None = None,
     """Front-end-only rate (int16 -> mix -> FIR -> timing -> decimate) for
     one lowering, with the measured-vs-roofline record attached
     (utils/roofline.py).  ``impl`` = "pallas" (fused kernel) or "xla"."""
-    import dataclasses as _dc
-
     from qpsk_tpu import ModemConfig, rx_init
-    from qpsk_tpu.modem import _pick_block, _tmat_for
-    from qpsk_tpu.ops import nco, rrc as rrc_ops, timing as timing_ops
-    from qpsk_tpu.ops.cplx import CF32
+    from qpsk_tpu.modem import frontend_xla
     from qpsk_tpu.utils.roofline import frontend_report
 
     cfg = ModemConfig(frontend_impl=impl)
@@ -208,19 +204,9 @@ def frontend_throughput(impl: str = "pallas", channels: int | None = None,
             from qpsk_tpu.ops.pallas.frontend_kernel import rx_frontend_fused
             picks, idx, phase, tail = rx_frontend_fused(cfg, x, phase, tail)
         else:
-            c, nf, fsz = x.shape
-            n = nf * fsz
-            flat = x.reshape(c, n).astype(jnp.float32) / jnp.float32(
-                cfg.pcm_scale)
-            z = CF32(flat, jnp.zeros_like(flat))
-            z, phase = nco.mix(z, phase, -cfg.omega_center, "fast")
-            blk = _pick_block(fsz)
-            z, tail = rrc_ops.fir_block(
-                z, tail, jnp.asarray(_tmat_for(cfg, blk)), cfg.gain, blk,
-                precision=jax.lax.Precision.DEFAULT)
-            fr = CF32(z.re.reshape(c, nf, fsz), z.im.reshape(c, nf, fsz))
-            picks, idx = timing_ops.estimate_and_decimate(fr, cfg.cycles,
-                                                          "power")
+            # the production staged chain (modem.frontend_xla): mix-free
+            # modulated-taps filter + pick phasor
+            picks, idx, phase, tail = frontend_xla(cfg, x, phase, tail)
         return phase, tail, picks, idx
 
     @jax.jit

@@ -50,6 +50,17 @@ def _tmat_for(cfg: ModemConfig, block: int) -> np.ndarray:
     return rrc_ops.toeplitz_taps(taps_for(cfg), block)
 
 
+@functools.lru_cache(maxsize=None)
+def _tmat_mod_for(cfg: ModemConfig, block: int) -> tuple:
+    """(re, im) Toeplitz planes of the RX *modulated* taps
+    (ops/frontend.py: the mix folded into the filter)."""
+    from qpsk_tpu.ops.frontend import modulated_taps_np
+    key = tuple(np.asarray(taps_for(cfg)).tolist())
+    hm = modulated_taps_np(key, float(-cfg.omega_center))
+    return (rrc_ops.toeplitz_taps(hm[0], block),
+            rrc_ops.toeplitz_taps(hm[1], block))
+
+
 def _prec(cfg: ModemConfig):
     """FIR matmul precision from the config (see ModemConfig.fir_precision)."""
     return (jax.lax.Precision.DEFAULT if cfg.fir_precision == "fast"
@@ -305,6 +316,54 @@ def _use_fused_frontend(cfg: ModemConfig, batch, fsz: int,
             and frontend_supported(cfg, batch, fsz, nframes))
 
 
+def frontend_xla(cfg: ModemConfig, pcm: jnp.ndarray, nco_phase: CF32,
+                 fir_tail: CF32):
+    """Staged XLA front-end over (..., nframes, frame_size) int16 PCM,
+    mix-free (modulated taps, ops/frontend.py): raw PCM -> complex
+    matched filter -> power timing -> decimate -> per-pick carrier phasor.
+
+    Covers the power-timing fast path (fir_precision "fast", nco "fast");
+    the state contract matches the other lowerings (mixed-domain
+    ``fir_tail``, unit NCO phasor), so calls chain interchangeably with
+    the Pallas kernel and the per-frame scan.  Returns
+    (picks CF32 (..., nframes, nsym), index (..., nframes) int32,
+    new_nco_phase, new_fir_tail).
+    """
+    from qpsk_tpu.ops import frontend as fe
+
+    batch = pcm.shape[:-2]
+    nframes, fsz = pcm.shape[-2], pcm.shape[-1]
+    n = nframes * fsz
+    omega = float(-cfg.omega_center)
+
+    flat = pcm.reshape(batch + (n,)).astype(jnp.float32) / jnp.float32(
+        cfg.pcm_scale)
+    raw_tail = fe.unmix_tail(fir_tail, nco_phase, omega)
+    block = _pick_block(fsz)
+    tre, tim = _tmat_mod_for(cfg, block)
+    u, _ = rrc_ops.fir_block_modulated(flat, raw_tail, jnp.asarray(tre),
+                                       jnp.asarray(tim), cfg.gain, block)
+    frames = CF32(u.re.reshape(batch + (nframes, fsz)),
+                  u.im.reshape(batch + (nframes, fsz)))
+    picks_u, index = timing_ops.estimate_and_decimate(frames, cfg.cycles,
+                                                      "power")
+    picks = fe.rotate_picks(picks_u, index, nco_phase, omega, fsz,
+                            cfg.cycles)
+    new_phase = fe.advance_phase(nco_phase, omega, n)
+    new_tail = fe.remix_tail(flat, nco_phase, omega, cfg.ntaps - 1)
+    return picks, index, new_phase, new_tail
+
+
+def _use_modulated_xla(cfg: ModemConfig) -> bool:
+    """The mix-free staged chain covers the default fast path; anything
+    else (parity precision, exact NCO, fractional/tracking timing — the
+    interpolated VALUES are not carrier-invariant) keeps the full-rate
+    mix staging."""
+    return (cfg.timing_mode == "power"
+            and cfg.fir_precision == "fast"
+            and cfg.nco_mode == "fast")
+
+
 def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     batch = pcm.shape[:-2]
     nframes, fsz = pcm.shape[-2], pcm.shape[-1]
@@ -313,10 +372,14 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
 
     timing_state = state.timing
     if _use_fused_frontend(cfg, batch, fsz, nframes):
-        # ONE Pallas pass: int16 -> mix -> FIR -> timing -> decimate
-        # (ops/pallas/frontend_kernel.py) — same state contract as below
+        # ONE Pallas pass: int16 -> FIR(modulated taps) -> timing ->
+        # decimate -> pick phasor (ops/pallas/frontend_kernel.py) — same
+        # state contract as below
         from qpsk_tpu.ops.pallas.frontend_kernel import rx_frontend_fused
         picks, index, nco_phase, fir_tail = rx_frontend_fused(
+            cfg, pcm, state.nco_phase, state.fir_tail)
+    elif _use_modulated_xla(cfg):
+        picks, index, nco_phase, fir_tail = frontend_xla(
             cfg, pcm, state.nco_phase, state.fir_tail)
     else:
         flat = pcm.reshape(batch + (n,)).astype(jnp.float32) / jnp.float32(

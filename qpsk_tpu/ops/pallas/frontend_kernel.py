@@ -1,32 +1,45 @@
 """Fused RX front-end kernel (Pallas / Mosaic TPU).
 
 One kernel fuses the whole pre-Costas RX chain of rx_frame
-(qpsk.c:114-191): int16 PCM -> f32 scale -> NCO mix-down -> 127-tap RRC
-matched filter -> per-frame symbol-timing energies -> argmax phase ->
-decimation — emitting only the decimated symbol picks and the timing
-index.  The XLA lowering of the same chain makes ~5 HBM round trips
-(convert+mix write, FIR window read + filtered write, energy read,
-decimate read + picks write, ~44 bytes/sample); this kernel reads the raw
-int16 PCM once and writes 2 f32 picks per symbol (~4 bytes/sample) — the
-front-end becomes HBM-minimal and MXU-bound.
+(qpsk.c:114-191): int16 PCM -> f32 scale -> RRC matched filter with
+carrier-MODULATED complex taps (the NCO mix folded into the filter,
+ops/frontend.py) -> per-frame symbol-timing energies -> argmax phase ->
+decimation -> per-pick carrier phasor — emitting only the decimated symbol
+picks and the timing index.  The XLA lowering of the same chain makes
+~5 HBM round trips (convert+mix write, FIR window read + filtered write,
+energy read, decimate read + picks write, ~44 bytes/sample); this kernel
+reads the raw int16 PCM once and writes 2 f32 picks per symbol
+(~4 bytes/sample) — the front-end is HBM-minimal and MXU-bound.
 
 Numerics / design notes:
 
-* The NCO ramp ``exp(-j*omega*(s+1))`` cannot be evaluated at f32 for
-  stream offsets s ~ 1e7 (f32 loses radians).  It factors exactly into
-  ``base_j (x) r[p]`` with ``base_j = exp(-j*omega*j*B)`` per grid block
-  (tiny (nb, 2) input, computed host-side in f64) and a static per-window
-  table ``r[p] = exp(-j*omega*(p - halo + 1))`` — each factor f64-accurate,
-  one extra f32 unit-phasor product vs the XLA path (~1e-7 error).
-* PCM is real, so mixing is two broadcast multiplies of the raw plane by
-  the per-(channel, sample) phasor planes; the FIR is then the same banded
-  Toeplitz matmul as ops/rrc.py, with the 126-halo window formed in VMEM
-  from the int16 body block + the previous block's last 128 columns (the
-  previous-block view trick of fir_kernel.py).  The carried cross-call
-  delay-line tail enters as a 128-wide raw-PCM side input used by block 0.
+* **The mix is gone, not moved**: with a constant-frequency NCO the mix
+  commutes with the LTI filter, so the taps absorb ``e^{j*omega*k}`` (a
+  static f64-designed table) and the carrier phasor touches only the
+  decimated picks (1/cycles rate).  Timing energies are carrier-invariant
+  (|phasor| = 1) and never need it.  This removed the two full-rate mixed
+  planes the round-2 kernel built on the VPU (~16 % of kernel time) and
+  halves the matmul's input-side reads (one real plane, not two mixed
+  ones).  The staged XLA twin (``modem.frontend_xla``) uses the SAME
+  modulated-tap tables, so both lowerings feed identical operands to the
+  MXU and agree on near-tie timing picks even under bf16 truncation.
+* The per-pick phasor ``phase0 (x) e^{j*omega*(pos+1)}`` cannot be
+  evaluated at f32 for stream positions ~ 1e7 (f32 loses radians).  It
+  factors exactly into ``phase0 (x) base_j (x) W[lane] (x) e^{j*omega*p}``
+  with ``base_j = e^{j*omega*j*B}`` per grid block (tiny SMEM scalars,
+  f64 host-side), a static lane table ``W[l] = e^{j*omega*(l*cycles+1)}``
+  and the cycles tiny constants — each factor f64-accurate.
+* The raw-PCM window is the int16 body block + the previous block's last
+  128 raw samples carried in VMEM scratch (the time-tile grid axis is
+  sequential); the cross-call delay-line tail enters as a 128-wide raw
+  side input used by block 0 (un-mixed from the carried mixed-domain
+  state by the host wrapper).
 * Timing matches ``timing_power`` + ``decimate_select`` exactly when one
-  grid block == one modem frame (B == cfg.frame_size): per-frame energy
-  per decimation phase -> argmax -> one-hot contraction pick, no gathers.
+  grid block == ``g`` modem frames; per-frame energies and the phase
+  selection stay on the VPU in full f32 (static iota frame masks +
+  full-width reductions): routing them through an MXU segment matmul
+  truncates the operands to bf16 and near-tie phase energies then argmax
+  differently from the XLA chain (measured: ~27 % of frames flipped).
 * Matmul precision mirrors the XLA fast path (DEFAULT, one bf16 MXU pass,
   ~0.3 % under any channel noise floor); the parity path (fir_precision
   "exact") never engages this kernel.
@@ -47,10 +60,10 @@ from qpsk_tpu.ops.cplx import CF32
 _HALO = 128
 
 
-def _kernel(base_r_ref, base_i_ref, tmat_ref, ramp_ref,
+def _kernel(base_r_ref, base_i_ref, tre_ref, tim_ref, wtab_ref,
             phase0_ref, tail_ref, body_ref, pr_ref, pi_ref,
             idx_ref, halo_s, *, gain: float, pcm_scale: float, cycles: int,
-            g: int):
+            g: int, omega: float):
     j = pl.program_id(1)
     b = body_ref.shape[1]
     ct = body_ref.shape[0]
@@ -65,49 +78,35 @@ def _kernel(base_r_ref, base_i_ref, tmat_ref, ramp_ref,
     x = jnp.concatenate([halo, body], axis=1)            # (CT, B + 128)
     halo_s[:, :] = body[:, b - _HALO:]
 
-    # per-(channel, sample) mix phasor: phase0 (x) base_j (x) ramp[p]
-    # (base_j comes from SMEM — grid-indexed scalars live there)
-    p0r, p0i = phase0_ref[:, 0:1], phase0_ref[:, 1:2]    # (CT, 1)
-    bjr, bji = base_r_ref[j], base_i_ref[j]              # scalars
-    cr = p0r * bjr - p0i * bji                           # (CT, 1)
-    ci = p0r * bji + p0i * bjr
-    rr, ri = ramp_ref[0:1, :], ramp_ref[1:2, :]          # (1, W)
-    mr = x * (cr * rr - ci * ri)                         # mixed re (CT, W)
-    mi = x * (cr * ri + ci * rr)                         # mixed im
-
-    # matched filter + decimation in one, CHUNKED against the Toeplitz
-    # structural zeros: the band matrix only has 128 nonzero rows per
-    # output column, so the dense (W, B) matmul wastes (B+128)/127 ~ 5x
-    # of its MACs at B=512 (9x at the 1200-baud grouping).  Splitting the
-    # outputs into K chunks of ``cw`` samples, each contracting only its
-    # own (cw + 128)-row band, cuts the waste to (cw+128)/127 ~ 2x at
-    # cw=128 while keeping every matmul a full (CT, cw+128) x (cw+128, cw)
-    # tile.  Chunk columns are phase-major (phase p's cw/cycles symbols
-    # contiguous) so the per-phase decimated signal reassembles as a
-    # static lane concat — the undecimated signal is never materialized
-    # and no lane-splitting reshape is needed (Mosaic can't shape-cast
-    # (CT, B) -> (CT, nsym, cycles)).  Each grid step covers ``g`` modem
-    # frames (g = 128 // symbols_per_frame keeps the picks lane-dim on
-    # the 128 granule for small frames, e.g. 1200 baud).
-    # Per-frame energies and the phase selection stay on the VPU in full
-    # f32 (static iota frame masks + full-width reductions): routing them
-    # through an MXU segment matmul truncates the operands to bf16 and the
-    # near-tie phase energies then argmax differently from the XLA chain
-    # (measured: ~27 % of frames pick a different phase on v5e).
+    # matched filter (modulated taps) + decimation in one, CHUNKED against
+    # the Toeplitz structural zeros: the band matrix only has 128 nonzero
+    # rows per output column, so a dense (W, B) matmul wastes
+    # (B+128)/127 ~ 5x of its MACs at B=512 (9x at the 1200-baud
+    # grouping).  Splitting the outputs into K chunks of ``cw`` samples,
+    # each contracting only its own (cw + 128)-row band, cuts the waste to
+    # (cw+128)/127 ~ 3x at cw=256 while keeping every matmul a full
+    # (CT, cw+128) x (cw+128, cw) tile.  Chunk columns are phase-major
+    # (phase p's cw/cycles symbols contiguous) so the per-phase decimated
+    # signal reassembles as a static lane concat — the undecimated signal
+    # is never materialized and no lane-splitting reshape is needed
+    # (Mosaic can't shape-cast (CT, B) -> (CT, nsym, cycles)).  Each grid
+    # step covers ``g`` modem frames (g = 128 // symbols_per_frame keeps
+    # the picks lane-dim on the 128 granule for small frames, e.g.
+    # 1200 baud).
     gn = jnp.float32(gain)
-    nchunks, cw = tmat_ref.shape[0], tmat_ref.shape[2]
+    nchunks, cw = tre_ref.shape[0], tre_ref.shape[2]
     mc = cw // cycles                                    # symbols/chunk/phase
     gnsym = nchunks * mc                                 # symbols per block
     nsym = gnsym // g
     chunks_r, chunks_i = [], []
     for k in range(nchunks):
-        xw_r = mr[:, k * cw:k * cw + cw + _HALO]         # (CT, cw + 128)
-        xw_i = mi[:, k * cw:k * cw + cw + _HALO]
-        tk = tmat_ref[k]                                 # (cw + 128, cw)
+        xw = x[:, k * cw:k * cw + cw + _HALO]            # (CT, cw + 128)
         chunks_r.append(
-            jnp.dot(xw_r, tk, preferred_element_type=jnp.float32) * gn)
+            jnp.dot(xw, tre_ref[k], preferred_element_type=jnp.float32)
+            * gn)
         chunks_i.append(
-            jnp.dot(xw_i, tk, preferred_element_type=jnp.float32) * gn)
+            jnp.dot(xw, tim_ref[k], preferred_element_type=jnp.float32)
+            * gn)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, gnsym), 1)
     masks = [jnp.where((lane >= f * nsym) & (lane < (f + 1) * nsym),
                        1.0, 0.0).astype(jnp.float32) for f in range(g)]
@@ -125,14 +124,19 @@ def _kernel(base_r_ref, base_i_ref, tmat_ref, ramp_ref,
              for f in range(g)], axis=1))                # (CT, g)
 
     # first-wins argmax over the per-(frame, phase) energies
-    # (timing_power), in f32 arithmetic (no sub-128-lane int ops)
+    # (timing_power), in f32 arithmetic (no sub-128-lane int ops);
+    # ``rot`` accumulates the selected phase's carrier factor
+    # e^{j*omega*p} per pick lane on the same one-hots
     emax = es[0]
     for p in range(1, cycles):
         emax = jnp.maximum(emax, es[p])
     taken = jnp.zeros((ct, g), jnp.float32)
     pr = jnp.zeros_like(yrs[0])
     pi = jnp.zeros_like(yis[0])
+    rotr = jnp.zeros_like(yrs[0])
+    roti = jnp.zeros_like(yis[0])
     idxf = jnp.zeros((ct, g), jnp.float32)
+    pang = np.mod(omega * np.arange(cycles, dtype=np.float64), 2 * np.pi)
     for p in range(cycles):
         s = jnp.where(es[p] >= emax, 1.0, 0.0) * (1.0 - taken)  # (CT, g)
         taken = taken + s
@@ -142,8 +146,21 @@ def _kernel(base_r_ref, base_i_ref, tmat_ref, ramp_ref,
             sx = sx + masks[f] * s[:, f:f + 1]
         pr = pr + sx * yrs[p]
         pi = pi + sx * yis[p]
-    pr_ref[:, :] = pr
-    pi_ref[:, :] = pi
+        rotr = rotr + sx * jnp.float32(np.cos(pang[p]))
+        roti = roti + sx * jnp.float32(np.sin(pang[p]))
+
+    # per-pick carrier phasor: phase0 (x) base_j (x) W[lane] (x) rot
+    p0r, p0i = phase0_ref[:, 0:1], phase0_ref[:, 1:2]    # (CT, 1)
+    bjr, bji = base_r_ref[j], base_i_ref[j]              # SMEM scalars
+    cr = p0r * bjr - p0i * bji                           # (CT, 1)
+    ci = p0r * bji + p0i * bjr
+    wr, wi = wtab_ref[0:1, :], wtab_ref[1:2, :]          # (1, gnsym)
+    fr = cr * wr - ci * wi                               # (CT, gnsym)
+    fi = cr * wi + ci * wr
+    gr = fr * rotr - fi * roti
+    gi = fr * roti + fi * rotr
+    pr_ref[:, :] = pr * gr - pi * gi
+    pi_ref[:, :] = pr * gi + pi * gr
     # the selected phase per frame, already resolved by the first-wins
     # one-hot above, in the first g lanes (zero-padded to the 128-lane
     # Mosaic block granule) — the host just slices and casts, instead of
@@ -155,32 +172,39 @@ def _kernel(base_r_ref, base_i_ref, tmat_ref, ramp_ref,
 @functools.lru_cache(maxsize=None)
 def _tables(taps_key: tuple, block: int, omega: float, cycles: int,
             cw: int):
-    """(tmat, ramp) static constants.
+    """(tm_re, tm_im, wtab) static constants.
 
-    ``tmat[k]`` is output chunk k's (cw + 128, cw) slice of the banded
-    Toeplitz matrix: rows are the chunk's own 128-halo input window, and
-    the columns are the chunk's cw output samples reordered PHASE-MAJOR
-    (phase p's cw/cycles symbols contiguous), so each chunk matmul is the
-    filtered signal of that window already grouped by decimation phase.
-    ``cw == block`` degenerates to the round-1 dense layout (one chunk,
-    all structural zeros); ``cw == 256`` is the measured v5e sweet spot
-    (cw=128 halves the waste again but loses more to slicing overhead).
-    ``ramp`` is the within-window mix-phasor table
-    r[p] = exp(j*omega*(p - 127)), f64-designed."""
+    ``tm_re/tm_im[k]`` are output chunk k's (cw + 128, cw) slices of the
+    banded Toeplitz planes of the *modulated* taps
+    ``hm[k] = h[k] * e^{j*omega*(k-D)}`` (ops/frontend.py): rows are the
+    chunk's own 128-halo raw-input window, and the columns are the chunk's
+    cw output samples reordered PHASE-MAJOR (phase p's cw/cycles symbols
+    contiguous), so each chunk matmul is the mix-free filtered signal of
+    that window already grouped by decimation phase.  ``cw == block``
+    degenerates to the dense layout (one chunk, all structural zeros);
+    ``cw == 256`` is the measured v5e sweet spot (cw=128 halves the waste
+    again but loses more to slicing overhead).  ``wtab`` is the static
+    pick-phasor lane table W[l] = e^{j*omega*(l*cycles + 1)}, f64-designed.
+    """
+    from qpsk_tpu.ops.frontend import modulated_taps_np
     from qpsk_tpu.ops.rrc import toeplitz_taps
-    taps = np.asarray(taps_key, np.float32)
-    pad = _HALO - (taps.shape[0] - 1)
+
+    hm = modulated_taps_np(taps_key, omega)              # (2, ntaps)
+    pad = _HALO - (hm.shape[1] - 1)
     assert pad >= 0, "ntaps too large for the 128 halo"
     assert block % cw == 0 and cw % cycles == 0, (block, cw, cycles)
-    full = toeplitz_taps(np.concatenate([np.zeros(pad, np.float32), taps]),
-                         block)
     cols = np.concatenate([np.arange(p, cw, cycles) for p in range(cycles)])
-    tmat = np.stack([full[k * cw:k * cw + cw + _HALO][:, k * cw + cols]
-                     for k in range(block // cw)])
-    p = np.arange(block + _HALO, dtype=np.float64) - (_HALO - 1)
-    ang = omega * p
-    ramp = np.stack([np.cos(ang), np.sin(ang)]).astype(np.float32)
-    return tmat, ramp
+
+    def chunked(tp):
+        full = toeplitz_taps(
+            np.concatenate([np.zeros(pad, np.float32), tp]), block)
+        return np.stack([full[k * cw:k * cw + cw + _HALO][:, k * cw + cols]
+                         for k in range(block // cw)])
+
+    lanes = np.arange(block // cycles, dtype=np.float64) * cycles + 1.0
+    ang = np.mod(omega * lanes, 2.0 * np.pi)
+    wtab = np.stack([np.cos(ang), np.sin(ang)]).astype(np.float32)
+    return chunked(hm[0]), chunked(hm[1]), wtab
 
 
 def _bases(omega: float, nb: int, block: int) -> np.ndarray:
@@ -198,9 +222,10 @@ def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
                  omega: float, cw: int, interpret: bool = False):
     c, n = pcm.shape
     nb = n // block
-    tmat_np, ramp_np = _tables(taps_key, block, omega, cycles, cw)
-    tmat = jnp.asarray(tmat_np)
-    ramp = jnp.asarray(ramp_np)
+    tre_np, tim_np, wtab_np = _tables(taps_key, block, omega, cycles, cw)
+    tre = jnp.asarray(tre_np)
+    tim = jnp.asarray(tim_np)
+    wtab = jnp.asarray(wtab_np)
     bases_np = _bases(omega, nb, block)
     bases_r = jnp.asarray(bases_np[:, 0])
     bases_i = jnp.asarray(bases_np[:, 1])
@@ -209,8 +234,10 @@ def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
     body_spec = pl.BlockSpec((ct, block), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, gain=gain, pcm_scale=pcm_scale,
-                             cycles=cycles, g=g)
+                             cycles=cycles, g=g, omega=omega)
     gnsym = block // cycles
+    tmat_spec = pl.BlockSpec((block // cw, cw + _HALO, cw),
+                             lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM)
     out_shape = (jax.ShapeDtypeStruct((c, n // cycles), jnp.float32),
                  jax.ShapeDtypeStruct((c, n // cycles), jnp.float32),
                  jax.ShapeDtypeStruct((c, nb * 128), jnp.float32))
@@ -220,9 +247,9 @@ def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((block // cw, cw + _HALO, cw),
-                         lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, block + _HALO), lambda i, j: (0, 0),
+            tmat_spec,
+            tmat_spec,
+            pl.BlockSpec((2, gnsym), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ct, 2), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -241,7 +268,7 @@ def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((ct, _HALO), jnp.float32)],
         interpret=interpret,
-    )(bases_r, bases_i, tmat, ramp, phase0, tail_raw, pcm)
+    )(bases_r, bases_i, tre, tim, wtab, phase0, tail_raw, pcm)
     idx = idxf.reshape(c, nb, 128)[..., :g].astype(jnp.int32)
     return pr, pi, idx.reshape(c, nb * g)
 
@@ -274,19 +301,20 @@ def rx_frontend_fused(cfg, pcm: jnp.ndarray, nco_phase: CF32,
                       fir_tail: CF32, interpret: bool = False):
     """Fused front-end over (C, nframes, frame_size) int16 PCM.
 
-    Drop-in for the mix -> fir_block -> estimate_and_decimate("power")
-    slice of ``_rx_stream_fused``: consumes/produces the SAME RxState
-    fields (mixed-domain CF32 ``fir_tail``, unit-phasor ``nco_phase``), so
-    calls chain interchangeably with the XLA path.  Returns
+    Drop-in for the ``frontend_xla`` slice of ``_rx_stream_fused``:
+    consumes/produces the SAME RxState fields (mixed-domain CF32
+    ``fir_tail``, unit-phasor ``nco_phase``), so calls chain
+    interchangeably with the XLA path.  Returns
     (picks CF32 (C, nframes, nsym), index (C, nframes) int32,
     new_nco_phase, new_fir_tail).
     """
     from qpsk_tpu.modem import taps_for
+    from qpsk_tpu.ops import frontend as fe
 
     interpret = interpret or jax.default_backend() != "tpu"
     c, nframes, fsz = pcm.shape
     n = nframes * fsz
-    omega = -cfg.omega_center
+    omega = float(-cfg.omega_center)
     ntaps_m1 = cfg.ntaps - 1
     # pad the channel axis to the 8-sublane grid granule (zero channels
     # decimate at phase 0 and are sliced away below)
@@ -309,16 +337,8 @@ def rx_frontend_fused(cfg, pcm: jnp.ndarray, nco_phase: CF32,
         c += cpad
     flat = pcm.reshape(c, n)
 
-    # --- un-mix the carried mixed-domain tail back to raw PCM f32 ---
-    # tail sample k (k = 0..125) sits at stream offset s = k - 126; its mix
-    # phasor was phase0 (x) exp(j*omega*(s+1)).  PCM is real, so
-    # raw = re(mixed * conj(phasor)) = m_re*pr + m_im*pi  (unit phasor).
-    karr = np.arange(-(ntaps_m1 - 1), 1, dtype=np.float64) * omega
-    tr = jnp.asarray(np.cos(karr), jnp.float32)
-    ti = jnp.asarray(np.sin(karr), jnp.float32)
-    pr = nco_phase.re[:, None] * tr - nco_phase.im[:, None] * ti
-    pi = nco_phase.re[:, None] * ti + nco_phase.im[:, None] * tr
-    raw_tail = fir_tail.re * pr + fir_tail.im * pi        # (C, 126)
+    # carried mixed-domain tail -> raw PCM halo for block 0
+    raw_tail = fe.unmix_tail(fir_tail, nco_phase, omega)  # (C, 126)
     pad = jnp.zeros((c, _HALO - ntaps_m1), jnp.float32)
     tail128 = jnp.concatenate([pad, raw_tail], axis=1)    # (C, 128)
 
@@ -349,30 +369,16 @@ def rx_frontend_fused(cfg, pcm: jnp.ndarray, nco_phase: CF32,
     prr, pii, idx = _frontend_2d(flat, tail128, phase0, taps_key,
                                  block=block, ct=ct, gain=float(cfg.gain),
                                  pcm_scale=float(cfg.pcm_scale),
-                                 cycles=cfg.cycles, g=g, omega=float(omega),
+                                 cycles=cfg.cycles, g=g, omega=omega,
                                  cw=cw, interpret=interpret)
     nsym = fsz // cfg.cycles
     picks = CF32(prr.reshape(c, nframes, nsym)[:c_in],
                  pii.reshape(c, nframes, nsym)[:c_in])
     idx = idx[:c_in]
-    flat = flat[:c_in]
+    flat_in = flat[:c_in].astype(jnp.float32) / jnp.float32(cfg.pcm_scale)
     nco_phase = CF32(nco_phase.re[:c_in], nco_phase.im[:c_in])
 
-    # --- carried state, same contract as the XLA path ---
-    # new NCO phase: phase0 (x) exp(j*omega*n), renormalized (qpsk.c:120)
-    from qpsk_tpu.ops.cplx import cnormalize
-    ang = float(np.mod(omega * n, 2.0 * np.pi))
-    er, ei = jnp.float32(np.cos(ang)), jnp.float32(np.sin(ang))
-    new_phase = cnormalize(CF32(nco_phase.re * er - nco_phase.im * ei,
-                                nco_phase.re * ei + nco_phase.im * er))
-    # new mixed-domain tail: the last ntaps-1 raw samples re-mixed with
-    # their phasors phase0 (x) exp(j*omega*(s+1)), s = n-126..n-1
-    sarr = (np.arange(n - ntaps_m1, n, dtype=np.float64) + 1.0) * omega
-    lr = jnp.asarray(np.cos(np.mod(sarr, 2.0 * np.pi)), jnp.float32)
-    li = jnp.asarray(np.sin(np.mod(sarr, 2.0 * np.pi)), jnp.float32)
-    qr = nco_phase.re[:, None] * lr - nco_phase.im[:, None] * li
-    qi = nco_phase.re[:, None] * li + nco_phase.im[:, None] * lr
-    last = flat[:, n - ntaps_m1:].astype(jnp.float32) / jnp.float32(
-        cfg.pcm_scale)
-    new_tail = CF32(last * qr, last * qi)
+    # carried state, same contract as the XLA path (shared helpers)
+    new_phase = fe.advance_phase(nco_phase, omega, n)
+    new_tail = fe.remix_tail(flat_in, nco_phase, omega, ntaps_m1)
     return picks, idx, new_phase, new_tail

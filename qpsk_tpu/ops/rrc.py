@@ -178,6 +178,53 @@ def fir_block(x: CF32, tail: CF32, tmat: jnp.ndarray, gain: float,
     return y, new_tail
 
 
+def fir_block_modulated(x: jnp.ndarray, tail: jnp.ndarray,
+                        tmat_re: jnp.ndarray, tmat_im: jnp.ndarray,
+                        gain: float, block: int):
+    """Mix-free matched filter: REAL input, complex *modulated* taps
+    (ops/frontend.py: ``hm[k] = h[k] * e^{j*omega*(k - D)}``), producing
+    the baseband signal up to the per-pick carrier phasor applied later.
+
+    Same split-matmul fast path as ``fir_block``'s DEFAULT branch — the
+    block operand is a free reshape of ``x``, the tail operand a slice —
+    but the two matmuls per tile are the re/im tap planes over ONE real
+    input plane instead of one tap plane over two mixed planes: identical
+    MXU work, half the input-side HBM traffic, and no full-rate mix.
+
+    Args:
+      x: ``(..., n)`` float32 RAW samples; ``n`` must divide by ``block``.
+      tail: ``(..., ntaps-1)`` carried raw tail (see frontend.unmix_tail).
+      tmat_re/tmat_im: ``(block + ntaps - 1, block)`` Toeplitz planes of
+        the modulated taps.
+      gain: per-output GAIN multiply (the double-GAIN quirk, rrc_fir.c:28).
+
+    Returns (u CF32 ``(..., n)``, new_raw_tail ``(..., ntaps-1)``).
+    """
+    n = x.shape[-1]
+    ntaps_m1 = tail.shape[-1]
+    assert tmat_re.shape == (block + ntaps_m1, block), (tmat_re.shape, block)
+    assert n % block == 0 and block >= ntaps_m1, (n, block, ntaps_m1)
+    nb = n // block
+
+    blocks = x.reshape(x.shape[:-1] + (nb, block))
+    prev = jnp.concatenate(
+        [tail[..., None, :], blocks[..., :-1, block - ntaps_m1:]],
+        axis=-2)                                      # (..., nb, ntaps-1)
+
+    def one(tmat):
+        y = (jnp.matmul(prev, tmat[:ntaps_m1],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+             + jnp.matmul(blocks, tmat[ntaps_m1:],
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.DEFAULT))
+        return y.reshape(x.shape[:-1] + (n,))
+
+    g = jnp.float32(gain)
+    u = CF32(one(tmat_re) * g, one(tmat_im) * g)
+    return u, x[..., n - ntaps_m1:]
+
+
 def fir_reference_order(x: CF32, tail: CF32, taps: jnp.ndarray, gain: float) -> CF32:
     """Bit-faithful FIR for parity tests: accumulates taps in the same
     ascending order as the C MAC loop (rrc_fir.c:24-26), via a scan over

@@ -5,12 +5,14 @@ and MXU-relevant part of the receiver; this module prices both lowerings
 analytically so measured times can be judged against the hardware ceiling
 (VERDICT r1: "no roofline/MFU accounting exists anywhere").
 
-Pass structure priced per input sample per channel:
+Pass structure priced per input sample per channel (both lowerings are
+mix-free: the carrier is folded into the modulated filter taps,
+ops/frontend.py, so no full-rate mixed planes exist anywhere):
 
-* ``xla`` (staged): convert+mix writes the CF32 planes (8 B), the FIR
-  fast path reads them back plus writes filtered planes (16 B), the
-  energy reduction re-reads (8 B), decimation re-reads and writes picks
-  (8 + 8/cycles B), input itself 2 B (int16) -> ~42 B/sample of HBM.
+* ``xla`` (staged, modem.frontend_xla): int16 in (2 B), f32 raw plane
+  write + FIR re-read (8 B), filtered CF32 planes write (8 B), energy
+  reduction re-read (8 B), decimation re-read (8 B), picks write
+  (8/cycles B) -> ~36 B/sample of HBM.
 * ``pallas`` (fused, ops/pallas/frontend_kernel.py): one kernel reads the
   int16 once (2 B) and writes picks (8/cycles B) + a 4*128/frame_size
   per-frame timing-index sliver -> ~4.1 B/sample.
@@ -73,8 +75,9 @@ def frontend_cost(cfg, channels: int, nframes: int,
         idx_bytes = 4.0 * 128 / fsz       # padded per-frame index sliver
         per_sample = 2.0 + picks_bytes + idx_bytes
     elif impl == "xla":
-        # int16 in, mix write, FIR read+write, energy read, decim read
-        per_sample = 2.0 + 8.0 + 16.0 + 8.0 + 8.0 + picks_bytes
+        # int16 in, raw f32 write + FIR re-read, filtered write,
+        # energy read, decim read (mix-free staging, modem.frontend_xla)
+        per_sample = 2.0 + 8.0 + 8.0 + 8.0 + 8.0 + picks_bytes
     else:
         raise ValueError(f"unknown impl {impl!r}")
 

@@ -1,9 +1,11 @@
 """Fused front-end kernel (ops/pallas/frontend_kernel.py) vs the XLA chain.
 
 Runs the Pallas kernel in interpret mode (CPU) and checks it against the
-exact XLA slice it replaces in ``_rx_stream_fused``: NCO mix -> block FIR
--> power-timing decimation, including the carried-state contract (mixed
-fir_tail + nco phasor) so calls chain interchangeably across paths.
+exact XLA slice it replaces in ``_rx_stream_fused`` (``frontend_xla``:
+modulated-taps matched filter -> power-timing decimation -> pick phasor),
+including the carried-state contract (mixed fir_tail + nco phasor) so
+calls chain interchangeably across paths.  A separate test pins both
+mix-free lowerings against the classic full-rate-mix staging.
 """
 
 import jax
@@ -13,15 +15,18 @@ import pytest
 
 from qpsk_tpu import ModemConfig, rx_init
 from qpsk_tpu.config import config_1200
-from qpsk_tpu.modem import _pick_block, _tmat_for, taps_for
+from qpsk_tpu.modem import _pick_block, _tmat_for, frontend_xla
 from qpsk_tpu.ops import nco, rrc as rrc_ops, timing as timing_ops
 from qpsk_tpu.ops.cplx import CF32
 from qpsk_tpu.ops.pallas.frontend_kernel import (frontend_supported,
                                                  rx_frontend_fused)
 
+_xla_frontend = frontend_xla
 
-def _xla_frontend(cfg, pcm, nco_phase, fir_tail):
-    """The reference slice of _rx_stream_fused (XLA lowering)."""
+
+def _mix_staged_frontend(cfg, pcm, nco_phase, fir_tail):
+    """The classic full-rate-mix staging (mix -> real-tap FIR -> timing),
+    kept as an independent numerical oracle for the mix-free lowerings."""
     c, nframes, fsz = pcm.shape
     n = nframes * fsz
     flat = pcm.reshape(c, n).astype(jnp.float32) / jnp.float32(cfg.pcm_scale)
@@ -29,12 +34,38 @@ def _xla_frontend(cfg, pcm, nco_phase, fir_tail):
     x, phase = nco.mix(x, nco_phase, -cfg.omega_center, "fast")
     block = _pick_block(fsz)
     tmat = jnp.asarray(_tmat_for(cfg, block))
-    x, tail = rrc_ops.fir_block(x, fir_tail, tmat, cfg.gain, block)
+    x, tail = rrc_ops.fir_block(x, fir_tail, tmat, cfg.gain, block,
+                                precision=jax.lax.Precision.DEFAULT)
     frames = CF32(x.re.reshape(c, nframes, fsz),
                   x.im.reshape(c, nframes, fsz))
     picks, index = timing_ops.estimate_and_decimate(frames, cfg.cycles,
                                                     "power")
     return picks, index, phase, tail
+
+
+def test_frontend_xla_matches_mix_staging():
+    """The mix-free staged chain (modulated taps + pick phasor) equals the
+    classic mix-then-filter staging: same timing picks, same symbols (to
+    f32 reassociation), same carried state."""
+    cfg = ModemConfig()
+    c, nframes = 8, 4
+    pcm = _pcm(cfg, c, nframes, seed=11)
+    st = rx_init(cfg, batch_shape=(c,))
+    m_picks, m_idx, m_ph, m_tail = _mix_staged_frontend(
+        cfg, pcm, st.nco_phase, st.fir_tail)
+    u_picks, u_idx, u_ph, u_tail = frontend_xla(
+        cfg, pcm, st.nco_phase, st.fir_tail)
+    np.testing.assert_array_equal(np.asarray(u_idx), np.asarray(m_idx))
+    np.testing.assert_allclose(np.asarray(u_picks.re),
+                               np.asarray(m_picks.re), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(u_picks.im),
+                               np.asarray(m_picks.im), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(u_ph.re), np.asarray(m_ph.re),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(u_tail.re), np.asarray(m_tail.re),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(u_tail.im), np.asarray(m_tail.im),
+                               atol=2e-4)
 
 
 def _pcm(cfg, c, nframes, seed=0):
