@@ -50,6 +50,34 @@ def awgn_baseband(key: jax.Array, x: CF32, snr_db, signal_power: float = 1.0) ->
                 x.im + sigma * jax.random.normal(ki, x.im.shape, jnp.float32))
 
 
+def multipath_pcm(pcm: jnp.ndarray, paths,
+                  pcm_scale: float = 16384.0) -> jnp.ndarray:
+    """Static multipath (e.g. two-ray HF/VHF) on int16 passband PCM:
+    ``y[n] = sum_d gain_d * x[n - delay_d]``.
+
+    ``paths``: sequence of (delay_samples int >= 0, gain float) — a static
+    real FIR channel at passband (each physical ray is a pure delay of the
+    real signal).  The time axis is the last; leading axes broadcast.
+    Echoes start silent (zero history before sample 0).  Compose with
+    ``awgn_pcm`` for a noisy multipath link.  The resulting symbol-level
+    ISI is what ``ModemConfig(eq_taps=...)``'s CMA equalizer
+    (ops/equalizer.py) removes.
+    """
+    x = pcm.astype(jnp.float32)
+    y = jnp.zeros_like(x)
+    for delay, gain in paths:
+        d = int(delay)
+        assert d >= 0, "acausal path"
+        if d == 0:
+            y = y + jnp.float32(gain) * x
+        else:
+            shifted = jnp.concatenate(
+                [jnp.zeros(x.shape[:-1] + (d,), jnp.float32),
+                 x[..., :-d]], axis=-1)
+            y = y + jnp.float32(gain) * shifted
+    return jnp.clip(jnp.round(y), -32768, 32767).astype(jnp.int16)
+
+
 def doppler_ramp_offset(n: int, f0_hz: float, rate_hz_per_s: float,
                         fs: float) -> jnp.ndarray:
     """Per-sample instantaneous offset f(t) = f0 + rate·t for a Doppler ramp

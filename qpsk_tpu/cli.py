@@ -35,6 +35,9 @@ def _add_common(p):
     p.add_argument("--timing", type=str, default="power",
                    choices=["power", "fractional", "tracking", "histogram"],
                    help="symbol-timing estimator (tracking = frame-rate PLL)")
+    p.add_argument("--eq-taps", type=int, default=0,
+                   help="blind CMA channel equalizer length (0 = off); "
+                        "decodes through static multipath")
     p.add_argument("--fec", action="store_true",
                    help="rate-1/2 K=7 convolutional code + soft Viterbi")
 
@@ -45,7 +48,8 @@ def _cfg(args):
         return config_parity()
     return ModemConfig(rs=args.baud,
                        differential=getattr(args, "differential", False),
-                       timing_mode=getattr(args, "timing", "power"))
+                       timing_mode=getattr(args, "timing", "power"),
+                       eq_taps=getattr(args, "eq_taps", 0))
 
 
 def _pcfg(args):
@@ -77,6 +81,11 @@ def cmd_loopback(args) -> int:
     _, pcm = tx_stream(cfg, tx_init(cfg), chan_bits,
                        tx_offset_hz=args.offset_hz,
                        doppler_hz_per_s=args.doppler)
+    if getattr(args, "multipath", None):
+        from qpsk_tpu.channel import multipath_pcm
+        paths = [(int(p.split(":")[0]), float(p.split(":")[1]))
+                 for p in args.multipath.split(",")]
+        pcm = multipath_pcm(pcm.reshape(-1), paths).reshape(pcm.shape)
     if args.snr_db is not None:
         sp = float(jnp.mean((pcm.astype(jnp.float32) / cfg.pcm_scale) ** 2))
         pcm = awgn_pcm(jax.random.key(args.seed), pcm,
@@ -235,6 +244,10 @@ def main(argv=None) -> int:
     _add_common(lp)
     lp.add_argument("--snr-db", type=float, default=None,
                     help="AWGN SNR; omit for the reference's noiseless loop")
+    lp.add_argument("--multipath", type=str, default=None,
+                    help="static multipath paths as 'delay:gain,...' in "
+                         "samples (e.g. '0:1.0,4:0.5'); pair with "
+                         "--eq-taps to decode through it")
     lp.add_argument("--doppler", type=float, default=0.0,
                     help="carrier chirp rate, Hz/s (Doppler ramp stimulus)")
     lp.add_argument("--scatter", type=str, default=None,

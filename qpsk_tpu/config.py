@@ -94,6 +94,14 @@ class ModemConfig:
     # below any channel noise; ~1.8x faster); "exact" = HIGHEST-precision
     # f32 (parity-grade, required by the golden-vector tests).
     fir_precision: str = "fast"
+    # eq_taps > 0 enables the blind CMA channel equalizer
+    # (ops/equalizer.py): an eq_taps-long symbol-spaced adaptive filter on
+    # the pre-Costas symbol stream with frame-rate block updates — decodes
+    # through static multipath (channel.multipath_pcm) the bare chain
+    # cannot.  0 = off (reference behavior: flat channel assumed).
+    eq_taps: int = 0
+    eq_mu: float = 0.2           # CMA step (power-normalized, per frame)
+    eq_modulus: float = 2.1      # CMA |y|^2 target (nominal post-MF ~1.45^2)
     nfft: int = 512              # acquisition FFT size       (fft.h:44)
 
     # --- packet layer (reference algorithms/, dormant there) ---
@@ -132,6 +140,12 @@ class ModemConfig:
                 f"loop_bw_track={self.loop_bw_track} must be in "
                 f"[0, loop_bw={self.loop_bw}] — the tracking gear is the "
                 "narrower bandwidth (0 disables the gear shift)")
+        if self.eq_taps < 0:
+            raise ValueError(f"eq_taps={self.eq_taps} must be >= 0")
+        if self.eq_taps > 0 and self.nco_mode == "exact":
+            raise ValueError(
+                "eq_taps > 0 requires the fused stream path (nco_mode "
+                "'fast'); the per-frame parity scan has no equalizer")
 
     @property
     def cycles(self) -> int:

@@ -411,6 +411,16 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
                          picks.im[..., :-1, :]], axis=-2))
     decim_delay = CF32(picks.re[..., -1, :], picks.im[..., -1, :])
 
+    eq_state = state.eq
+    if cfg.eq_taps > 0:
+        # blind CMA channel equalizer on the pre-Costas symbols
+        # (ops/equalizer.py): carrier-phase invariant, so it sits between
+        # decimation and carrier recovery; frame-rate block updates keep
+        # the sequential chain nframes long
+        from qpsk_tpu.ops import equalizer as eq_ops
+        eq_state, delayed = eq_ops.equalize_stream(
+            eq_state, delayed, cfg.eq_mu, cfg.eq_modulus)
+
     symbols = CF32(delayed.re.reshape(batch + (nframes * nsf,)),
                    delayed.im.reshape(batch + (nframes * nsf,)))
     params = costas_ops.costas_params(cfg.loop_bw, cfg.damping,
@@ -449,5 +459,6 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
         timing_index=index)
     new_state = state._replace(fir_tail=fir_tail, nco_phase=nco_phase,
                                costas=cstate, decim_delay=decim_delay,
-                               diff_prev=diff_prev, timing=timing_state)
+                               diff_prev=diff_prev, timing=timing_state,
+                               eq=eq_state)
     return new_state, out
