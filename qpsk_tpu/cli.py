@@ -38,8 +38,11 @@ def _add_common(p):
     p.add_argument("--eq-taps", type=int, default=0,
                    help="blind CMA channel equalizer length (0 = off); "
                         "decodes through static multipath")
-    p.add_argument("--fec", action="store_true",
-                   help="rate-1/2 K=7 convolutional code + soft Viterbi")
+    p.add_argument("--fec", nargs="?", const="conv", default=False,
+                   choices=("conv", "ldpc"),
+                   help="rate-1/2 FEC: 'conv' = K=7 + soft Viterbi (the "
+                        "default when the flag is given bare), 'ldpc' = "
+                        "IRA LDPC + min-sum")
 
 
 def _cfg(args):
@@ -270,9 +273,11 @@ def main(argv=None) -> int:
         cfg = _cfg(a)
         # size the payload so one packet ~ one modem frame: uncoded frames
         # fill it exactly (payload + CRC16); coded frames halve the payload
-        # for the rate-1/2 code (+ 6 tail bits, so slightly under)
-        if a.fec:
+        # for the rate-1/2 codes (conv adds 6 tail bits, so slightly under)
+        if a.fec == "conv":
             pb = (cfg.symbols_per_frame - 16 - 6) // 8
+        elif a.fec == "ldpc":
+            pb = (cfg.symbols_per_frame - 16) // 8
         else:
             pb = (2 * cfg.symbols_per_frame - 16) // 8
         pcfg = PacketConfig(payload_bytes=pb, fec=a.fec)

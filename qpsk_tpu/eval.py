@@ -28,14 +28,16 @@ from qpsk_tpu.sync import (default_max_lag, extract_packets_soft_tracked,
 def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
                snr_db: Sequence[float], nframes: int = 120,
                offset_hz: float = 50.0, seed: int = 0,
-               skip_frames: int = 8) -> list[dict]:
+               skip_frames: int = 8, paths=None) -> list[dict]:
     """Packet/bit error rates across SNR points, one fused RX pass.
 
     Returns one record per SNR: {snr_db, per, ber, evm_rms, detected_hz,
     packets, sync_score}.  Packets need not fill a whole number of modem
     frames (coded packets don't): the channel-bit stream is padded to the
     frame grid.  With ``pcfg.fec`` the extraction runs in the soft domain
-    (LLRs from the demod symbols -> soft Viterbi).
+    (LLRs from the demod symbols -> soft decoder).  ``paths`` adds static
+    multipath (channel.multipath_pcm) before the AWGN — pair with
+    ``ModemConfig(eq_taps=...)`` to sweep the equalized link.
     """
     snr = np.asarray(list(snr_db), np.float32)
     ns = snr.size
@@ -53,6 +55,9 @@ def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
 
     _, pcm = tx_stream(cfg, tx_init(cfg), chan_bits,
                        tx_offset_hz=offset_hz)          # (F, frame)
+    if paths:
+        from qpsk_tpu.channel import multipath_pcm
+        pcm = multipath_pcm(pcm.reshape(-1), paths).reshape(pcm.shape)
     pcm = jnp.broadcast_to(pcm, (ns,) + pcm.shape)      # (S, F, frame)
     sp = float(jnp.mean((pcm[0].astype(jnp.float32) / cfg.pcm_scale) ** 2))
     noisy = awgn_pcm(jax.random.key(seed), pcm, snr_db=jnp.asarray(snr),

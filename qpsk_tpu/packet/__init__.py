@@ -18,3 +18,5 @@ from qpsk_tpu.packet.frame import (PacketConfig, assemble_packet,
                                    disassemble_packet_soft)
 from qpsk_tpu.packet.fec import (ConvCode, conv_encode, viterbi_decode,
                                  hard_llrs)
+from qpsk_tpu.packet.ldpc import (LdpcCode, ldpc_encode, ldpc_decode,
+                                  ldpc_syndrome_weight)

@@ -36,12 +36,27 @@ class PacketConfig:
     scramble_seed: int = 0x4A80      # bit-scramble.h:13
     scramble: bool = True
     interleave: bool = True
-    # fec: wrap the CRC'd payload in the rate-1/2 K=7 convolutional code
-    # (packet/fec.py) before scrambling/interleaving.  Capability extension
-    # (the reference ships no FEC); the interleaver now also does its real
-    # job — spreading channel burst errors across the Viterbi decoder's
-    # constraint lengths.
-    fec: bool = False
+    # fec: wrap the CRC'd payload in a rate-1/2 code before scrambling/
+    # interleaving.  Capability extension (the reference ships no FEC);
+    # the interleaver now also does its real job — spreading channel burst
+    # errors across the decoder's correction span.  Accepted values:
+    #   False          — uncoded (reference parity)
+    #   True / "conv"  — K=7 (133,171) convolutional + soft Viterbi
+    #                    (packet/fec.py)
+    #   "ldpc"         — IRA LDPC + batched min-sum (packet/ldpc.py);
+    #                    frame sync scores by syndrome weight, decode-free
+    fec: bool | str = False
+
+    def __post_init__(self):
+        if self.fec not in (False, True, "conv", "ldpc"):
+            raise ValueError(f"unknown fec {self.fec!r}")
+
+    @property
+    def fec_kind(self):
+        """None | 'conv' | 'ldpc' (True normalizes to 'conv')."""
+        if not self.fec:
+            return None
+        return "conv" if self.fec is True else self.fec
 
     @property
     def payload_crc_bits(self) -> int:
@@ -49,10 +64,17 @@ class PacketConfig:
 
     @property
     def frame_bits(self) -> int:
-        if self.fec:
+        kind = self.fec_kind
+        if kind == "conv":
             from qpsk_tpu.packet.fec import ConvCode
             return ConvCode().coded_bits(self.payload_crc_bits)
+        if kind == "ldpc":
+            return 2 * self.payload_crc_bits
         return self.payload_crc_bits
+
+    def ldpc_code(self):
+        from qpsk_tpu.packet.ldpc import LdpcCode
+        return LdpcCode(k=self.payload_crc_bits)
 
 
 class RxPacket(NamedTuple):
@@ -68,13 +90,28 @@ def assemble_packet(pcfg: PacketConfig, payload_bits: jnp.ndarray) -> jnp.ndarra
     across the decoder's constraint lengths."""
     assert payload_bits.shape[-1] == 8 * pcfg.payload_bytes, payload_bits.shape
     bits = crc16_append_bits(payload_bits)
-    if pcfg.fec:
+    if pcfg.fec_kind == "conv":
         from qpsk_tpu.packet.fec import ConvCode, conv_encode
         bits = conv_encode(ConvCode(), bits)
+    elif pcfg.fec_kind == "ldpc":
+        from qpsk_tpu.packet.ldpc import ldpc_encode
+        bits = ldpc_encode(pcfg.ldpc_code(), bits)
     if pcfg.scramble:
         bits = scramble_bits(bits, pcfg.scramble_seed)
     if pcfg.interleave:
         bits = interleave_bits(bits)
+    return bits
+
+
+def unwrap_bits(pcfg: PacketConfig, bits: jnp.ndarray) -> jnp.ndarray:
+    """Undo the channel wrapping only (deinterleave + descramble),
+    exposing the raw codeword/CRC bits — the input the decode-free LDPC
+    syndrome sync metric scores (sync.find_sync)."""
+    assert bits.shape[-1] == pcfg.frame_bits, (bits.shape, pcfg.frame_bits)
+    if pcfg.interleave:
+        bits = deinterleave_bits(bits)
+    if pcfg.scramble:
+        bits = scramble_bits(bits, pcfg.scramble_seed)
     return bits
 
 
@@ -86,10 +123,7 @@ def disassemble_packet(pcfg: PacketConfig, bits: jnp.ndarray) -> RxPacket:
     if pcfg.fec:
         from qpsk_tpu.packet.fec import hard_llrs
         return disassemble_packet_soft(pcfg, hard_llrs(bits))
-    if pcfg.interleave:
-        bits = deinterleave_bits(bits)
-    if pcfg.scramble:
-        bits = scramble_bits(bits, pcfg.scramble_seed)
+    bits = unwrap_bits(pcfg, bits)
     return RxPacket(payload_bits=bits[..., :-16], crc_ok=crc16_check_bits(bits))
 
 
@@ -109,9 +143,12 @@ def disassemble_packet_soft(pcfg: PacketConfig, llrs: jnp.ndarray) -> RxPacket:
         ks = scramble_bits(jnp.zeros((pcfg.frame_bits,), jnp.int32),
                            pcfg.scramble_seed)
         llrs = llrs * (1 - 2 * ks).astype(jnp.float32)
-    if pcfg.fec:
+    if pcfg.fec_kind == "conv":
         from qpsk_tpu.packet.fec import ConvCode, viterbi_decode
         bits = viterbi_decode(ConvCode(), llrs, pcfg.payload_crc_bits)
+    elif pcfg.fec_kind == "ldpc":
+        from qpsk_tpu.packet.ldpc import ldpc_decode
+        bits = ldpc_decode(pcfg.ldpc_code(), llrs)
     else:
         bits = (llrs < 0).astype(jnp.int32)
     return RxPacket(payload_bits=bits[..., :-16], crc_ok=crc16_check_bits(bits))

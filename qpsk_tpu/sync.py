@@ -123,7 +123,19 @@ def find_sync(pcfg: PacketConfig, bits: jnp.ndarray, max_lag: int = 512,
     # all four rotations of every lag window: (4, L, W)
     cand = jnp.stack([rotate_dibits(gathered, r) for r in range(4)])
     frames = cand.reshape(4, lags.shape[0], probe_frames, fb)
-    ok = disassemble_packet(pcfg, frames).crc_ok               # (4, L, P)
+    if pcfg.fec_kind == "ldpc":
+        # decode-free sync: the parity-check syndrome weight of the
+        # unwrapped hard bits separates aligned (~0.16*m at operating SNR)
+        # from misaligned (~0.5*m) frames with one int matmul — running
+        # min-sum BP over every rotation x lag hypothesis would be ~100x
+        # the work of the whole search (packet/ldpc.py docstring)
+        from qpsk_tpu.packet.frame import unwrap_bits
+        from qpsk_tpu.packet.ldpc import ldpc_syndrome_weight
+        code = pcfg.ldpc_code()
+        syn = ldpc_syndrome_weight(code, unwrap_bits(pcfg, frames))
+        ok = syn < int(0.35 * code.m)                          # (4, L, P)
+    else:
+        ok = disassemble_packet(pcfg, frames).crc_ok           # (4, L, P)
     score = ok.sum(-1).astype(jnp.int32)                       # (4, L)
     flat = jnp.argmax(score)
     r = (flat // lags.shape[0]).astype(jnp.int32)

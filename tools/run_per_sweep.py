@@ -1,13 +1,20 @@
 #!/usr/bin/env python
-"""Regenerate docs/per_vs_snr.jsonl + docs/per_vs_snr_coded.jsonl.
+"""Regenerate the soaked PER-vs-SNR artifacts in docs/.
 
 Soak discipline (VERDICT r1 item #8): >=1000 packets per SNR point,
-aggregated over >=3 independent seeds (payloads, noise, and channel draws
-all differ per seed).  Per-point records carry the per-seed breakdown so a
+aggregated over independent seeds (payloads, noise, and channel draws all
+differ per seed).  Per-point records carry the per-seed breakdown so a
 non-monotone point is attributable (seed variance / a cycle slip) instead
 of mysterious.
 
-Usage: python tools/run_per_sweep.py [docs_dir]   (~30-60 min on CPU)
+Scenarios (select with --only, comma-separated; default = all):
+  uncoded    -> per_vs_snr.jsonl
+  conv       -> per_vs_snr_coded.jsonl        (K=7 + soft Viterbi)
+  ldpc       -> per_vs_snr_ldpc.jsonl         (IRA LDPC + min-sum)
+  multipath  -> per_vs_snr_multipath.jsonl    (two-ray echo + 9-tap CMA)
+
+Usage: python tools/run_per_sweep.py [--only a,b] [docs_dir]
+(each scenario ~15-60 min on CPU)
 """
 
 import json
@@ -24,13 +31,12 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
-SEEDS = (0, 1, 2)
-NFRAMES = 350          # packets per seed -> >=1000 per point over 3 seeds
 SNRS = [3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 12.0]
+TWO_RAY = ((0, 1.0), (4, 0.5))
 
 
-def aggregate(per_seed_recs, fec: bool):
-    """Combine one SNR point's records across seeds by total counts."""
+def aggregate(per_seed_recs, seeds, tag: dict):
+    """Combine one scenario's records across seeds by total counts."""
     out = []
     for i in range(len(per_seed_recs[0])):
         recs = [r[i] for r in per_seed_recs]
@@ -40,8 +46,8 @@ def aggregate(per_seed_recs, fec: bool):
         # ber was errs / (packets * payload_bits); reconstruct errs
         nbits = [r["packets"] * 240 for r in recs]
         errs = sum(round(r["ber"] * nb) for r, nb in zip(recs, nbits))
-        agg = {
-            "fec": fec,
+        agg = dict(tag)
+        agg.update({
             "snr_db": snr,
             "packets": npk,
             "per": round(1.0 - nok / npk, 5) if npk else 1.0,
@@ -49,39 +55,78 @@ def aggregate(per_seed_recs, fec: bool):
             "evm_rms": round(float(np.mean([r["evm_rms"] for r in recs])), 5),
             "detected_hz": round(float(np.mean([r["detected_hz"]
                                                 for r in recs])), 3),
-            "seeds": list(SEEDS),
+            "seeds": list(seeds),
             "per_seed": [{"seed": s, "packets": r["packets"],
                           "per": round(r["per"], 5),
                           "sync_score": r["sync_score"]}
-                         for s, r in zip(SEEDS, recs)],
-        }
+                         for s, r in zip(seeds, recs)],
+        })
         out.append(agg)
     return out
 
 
-def main() -> None:
+def scenarios():
     from qpsk_tpu.config import ModemConfig
-    from qpsk_tpu.eval import per_vs_snr
     from qpsk_tpu.packet import PacketConfig
 
-    docs = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs")
-    cfg = ModemConfig()
+    base = ModemConfig()
+    # ldpc: smaller batches x more seeds — the tracked extractor decodes
+    # 4 rotations of every frame at once and min-sum messages are
+    # (B, m, n) dense; 120-packet batches keep that ~1 GB on CPU
+    return {
+        "uncoded": dict(cfg=base, pcfg=PacketConfig(payload_bytes=30),
+                        snrs=SNRS, nframes=350, seeds=(0, 1, 2), paths=None,
+                        fname="per_vs_snr.jsonl", tag={"fec": False}),
+        "conv": dict(cfg=base,
+                     pcfg=PacketConfig(payload_bytes=30, fec="conv"),
+                     snrs=SNRS, nframes=350, seeds=(0, 1, 2), paths=None,
+                     fname="per_vs_snr_coded.jsonl", tag={"fec": True}),
+        "ldpc": dict(cfg=base,
+                     pcfg=PacketConfig(payload_bytes=30, fec="ldpc"),
+                     snrs=SNRS, nframes=120,
+                     seeds=(0, 1, 2, 3, 4, 5, 6, 7, 8), paths=None,
+                     fname="per_vs_snr_ldpc.jsonl", tag={"fec": "ldpc"}),
+        "multipath": dict(
+            cfg=ModemConfig(eq_taps=9),
+            pcfg=PacketConfig(payload_bytes=30),
+            snrs=[8.0, 10.0, 12.0, 14.0, 16.0, 18.0], nframes=350,
+            seeds=(0, 1, 2), paths=TWO_RAY,
+            fname="per_vs_snr_multipath.jsonl",
+            tag={"fec": False, "multipath": "0:1.0,4:0.5", "eq_taps": 9},
+            # CMA needs a convergence window before packets count
+            skip_frames=20),
+    }
 
-    for fec, fname in ((False, "per_vs_snr.jsonl"),
-                       (True, "per_vs_snr_coded.jsonl")):
-        pcfg = PacketConfig(payload_bytes=30, fec=fec)
+
+def main() -> None:
+    from qpsk_tpu.eval import per_vs_snr
+
+    args = list(sys.argv[1:])
+    only = None
+    if args and args[0].startswith("--only"):
+        a0 = args.pop(0)
+        only = set((a0.split("=", 1)[1] if "=" in a0
+                    else args.pop(0)).split(","))
+    docs = args[0] if args else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs")
+
+    for name, sc in scenarios().items():
+        if only is not None and name not in only:
+            continue
         per_seed = []
-        for seed in SEEDS:
-            recs = per_vs_snr(cfg, pcfg, SNRS, nframes=NFRAMES, seed=seed)
+        for seed in sc["seeds"]:
+            recs = per_vs_snr(sc["cfg"], sc["pcfg"], sc["snrs"],
+                              nframes=sc["nframes"], seed=seed,
+                              paths=sc["paths"],
+                              skip_frames=sc.get("skip_frames", 8))
             per_seed.append(recs)
-            print(f"fec={fec} seed={seed} done", file=sys.stderr, flush=True)
-        path = os.path.join(docs, fname)
+            print(f"{name} seed={seed} done", file=sys.stderr, flush=True)
+        path = os.path.join(docs, sc["fname"])
         with open(path, "w") as f:
-            for rec in aggregate(per_seed, fec):
+            for rec in aggregate(per_seed, sc["seeds"], sc["tag"]):
                 f.write(json.dumps(rec) + "\n")
                 print(json.dumps({k: rec[k] for k in
-                                  ("fec", "snr_db", "packets", "per", "ber")}),
+                                  ("snr_db", "packets", "per", "ber")}),
                       flush=True)
         print(f"wrote {path}", file=sys.stderr, flush=True)
 
