@@ -126,7 +126,10 @@ def cmd_loopback(args) -> int:
         # decodes hard-input inside disassemble_packet (~2 dB off soft)
         rx = extract_packets_tracked(pcfg, bits[skip * pcfg.frame_bits:],
                                      sync, navail)
-    m = evm(CF32(out.symbols.re[skip:], out.symbols.im[skip:]))
+    from qpsk_tpu.metrics import snr_estimate_db
+    post = CF32(out.symbols.re[skip:], out.symbols.im[skip:])
+    m = evm(post)
+    est_snr = float(snr_estimate_db(CF32(post.re.ravel(), post.im.ravel())))
 
     result = {
         "frames": args.frames,
@@ -138,6 +141,7 @@ def cmd_loopback(args) -> int:
         "packets": int(np.asarray(rx.crc_ok).size),
         "per": round(float(per(rx.crc_ok)), 5),
         "evm_rms": round(float(jnp.mean(m.evm_rms)), 5),
+        "est_snr_db": round(est_snr, 2),
     }
     print(json.dumps(result))
 

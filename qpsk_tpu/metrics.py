@@ -34,6 +34,21 @@ def per(crc_ok: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - jnp.mean(crc_ok.astype(jnp.float32), axis=-1)
 
 
+def snr_estimate_db(symbols: CF32) -> jnp.ndarray:
+    """Blind per-channel SNR estimate (dB) from derotated symbols — the
+    M2M4 moments estimator, exact for constant-modulus (PSK) signals in
+    AWGN: with M2 = E|y|^2, M4 = E|y|^4, the signal power is
+    S = sqrt(2 M2^2 - M4) and the noise N = M2 - S.  No pilots, no
+    decisions, scale-free — a pure reduction that lives inside the jitted
+    RX graph (feeds link adaptation / the observability dict)."""
+    p = symbols.re ** 2 + symbols.im ** 2
+    m2 = jnp.mean(p, axis=-1)
+    m4 = jnp.mean(p * p, axis=-1)
+    s = jnp.sqrt(jnp.maximum(2.0 * m2 * m2 - m4, 1e-30))
+    n = jnp.maximum(m2 - s, 1e-30 * m2 + 1e-30)
+    return 10.0 * jnp.log10(s / n)
+
+
 def evm(symbols: CF32, normalize: bool = True) -> LinkMetrics:
     """EVM of derotated QPSK symbols against the nearest ideal point.
 
