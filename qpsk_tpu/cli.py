@@ -38,6 +38,9 @@ def _add_common(p):
     p.add_argument("--eq-taps", type=int, default=0,
                    help="blind CMA channel equalizer length (0 = off); "
                         "decodes through static multipath")
+    p.add_argument("--agc", action="store_true",
+                   help="frame-rate automatic gain control: decode streams "
+                        "at unknown levels (pair with loopback --level-db)")
     p.add_argument("--fec", nargs="?", const="conv", default=False,
                    choices=("conv", "ldpc"),
                    help="rate-1/2 FEC: 'conv' = K=7 + soft Viterbi (the "
@@ -52,7 +55,8 @@ def _cfg(args):
     return ModemConfig(rs=args.baud,
                        differential=getattr(args, "differential", False),
                        timing_mode=getattr(args, "timing", "power"),
-                       eq_taps=getattr(args, "eq_taps", 0))
+                       eq_taps=getattr(args, "eq_taps", 0),
+                       agc=getattr(args, "agc", False))
 
 
 def _pcfg(args):
@@ -94,6 +98,12 @@ def cmd_loopback(args) -> int:
         pcm = awgn_pcm(jax.random.key(args.seed), pcm,
                        snr_db=args.snr_db, signal_power=sp,
                        pcm_scale=cfg.pcm_scale)
+    if getattr(args, "level_db", 0.0):
+        # mis-set audio level AFTER the channel (an RX-side gain error):
+        # pair with --agc to decode anyway
+        g = 10.0 ** (args.level_db / 20.0)
+        pcm = jnp.clip(jnp.round(pcm.astype(jnp.float32) * jnp.float32(g)),
+                       -32768, 32767).astype(jnp.int16)
 
     # packet PCM length need not divide the RX frame: pad with silence
     flat = pcm.reshape(-1)
@@ -257,6 +267,9 @@ def main(argv=None) -> int:
                          "--eq-taps to decode through it")
     lp.add_argument("--doppler", type=float, default=0.0,
                     help="carrier chirp rate, Hz/s (Doppler ramp stimulus)")
+    lp.add_argument("--level-db", type=float, default=0.0,
+                    help="RX-side level error in dB (e.g. -26 for a quiet "
+                         "input); pair with --agc")
     lp.add_argument("--scatter", type=str, default=None,
                     help="write a constellation PNG artifact")
     lp.set_defaults(fn=cmd_loopback)

@@ -102,6 +102,15 @@ class ModemConfig:
     eq_taps: int = 0
     eq_mu: float = 0.2           # CMA step (power-normalized, per frame)
     eq_modulus: float = 2.1      # CMA |y|^2 target (nominal post-MF ~1.45^2)
+    # agc enables the frame-rate automatic gain control (ops/agc.py) on the
+    # decimated symbol stream: unknown input levels (real audio links — the
+    # reference assumes RX divides by the exact scale TX multiplied by,
+    # qpsk.c:113/260) are normalized to agc_target RMS before the
+    # amplitude-sensitive stages (Costas error gain, CMA modulus target).
+    # Default off (reference behavior: calibrated full-scale assumed).
+    agc: bool = False
+    agc_target: float = 1.45     # nominal post-MF symbol modulus (2x GAIN)
+    agc_mu: float = 0.5          # per-frame RMS-estimate smoothing step
     nfft: int = 512              # acquisition FFT size       (fft.h:44)
 
     # --- packet layer (reference algorithms/, dormant there) ---
@@ -142,10 +151,10 @@ class ModemConfig:
                 "narrower bandwidth (0 disables the gear shift)")
         if self.eq_taps < 0:
             raise ValueError(f"eq_taps={self.eq_taps} must be >= 0")
-        if self.eq_taps > 0 and self.nco_mode == "exact":
-            raise ValueError(
-                "eq_taps > 0 requires the fused stream path (nco_mode "
-                "'fast'); the per-frame parity scan has no equalizer")
+        if not 0.0 < self.agc_mu <= 1.0:
+            raise ValueError(f"agc_mu={self.agc_mu} must be in (0, 1]")
+        if self.agc_target <= 0.0:
+            raise ValueError(f"agc_target={self.agc_target} must be > 0")
 
     @property
     def cycles(self) -> int:

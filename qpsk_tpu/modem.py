@@ -244,6 +244,17 @@ def rx_frame(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     # one-frame delay line (qpsk.c:182-191): emit the previous frame's picks
     symbols, decim_delay = state.decim_delay, picks
 
+    agc_state = state.agc
+    if cfg.agc:
+        from qpsk_tpu.ops import agc as agc_ops
+        agc_state, symbols = agc_ops.agc_frame(agc_state, symbols,
+                                               cfg.agc_target, cfg.agc_mu)
+    eq_state = state.eq
+    if cfg.eq_taps > 0:
+        from qpsk_tpu.ops import equalizer as eq_ops
+        eq_state, symbols = eq_ops.cma_frame(eq_state, symbols,
+                                             cfg.eq_mu, cfg.eq_modulus)
+
     params = costas_ops.costas_params(cfg.loop_bw, cfg.damping,
                                       cfg.min_freq, cfg.max_freq)
     gear = _gear_for(cfg)
@@ -264,7 +275,8 @@ def rx_frame(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
                 timing_index=index)
     new_state = state._replace(fir_tail=fir_tail, nco_phase=nco_phase,
                                costas=cstate, decim_delay=decim_delay,
-                               diff_prev=diff_prev, timing=timing_state)
+                               diff_prev=diff_prev, timing=timing_state,
+                               eq=eq_state, agc=agc_state)
     return new_state, out
 
 
@@ -411,6 +423,15 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
                          picks.im[..., :-1, :]], axis=-2))
     decim_delay = CF32(picks.re[..., -1, :], picks.im[..., -1, :])
 
+    agc_state = state.agc
+    if cfg.agc:
+        # frame-rate AGC (ops/agc.py): normalize unknown input levels to
+        # the nominal symbol RMS before the amplitude-sensitive stages
+        # (Costas error gain, CMA modulus target)
+        from qpsk_tpu.ops import agc as agc_ops
+        agc_state, delayed = agc_ops.agc_stream(
+            agc_state, delayed, cfg.agc_target, cfg.agc_mu)
+
     eq_state = state.eq
     if cfg.eq_taps > 0:
         # blind CMA channel equalizer on the pre-Costas symbols
@@ -460,5 +481,5 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     new_state = state._replace(fir_tail=fir_tail, nco_phase=nco_phase,
                                costas=cstate, decim_delay=decim_delay,
                                diff_prev=diff_prev, timing=timing_state,
-                               eq=eq_state)
+                               eq=eq_state, agc=agc_state)
     return new_state, out

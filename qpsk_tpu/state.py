@@ -36,6 +36,7 @@ class RxState(NamedTuple):
     diff_prev: Any = None    # (...,) CF32 previous symbol (differential mode)
     timing: Any = None       # (tau, dtau) float32 pair (timing_mode="tracking")
     eq: Any = None           # (w, hist) CMA equalizer taps (cfg.eq_taps > 0)
+    agc: Any = None          # (...,) smoothed symbol RMS (cfg.agc)
 
 
 def tx_init(cfg: ModemConfig, batch_shape=()) -> TxState:
@@ -47,6 +48,7 @@ def tx_init(cfg: ModemConfig, batch_shape=()) -> TxState:
 
 
 def rx_init(cfg: ModemConfig, batch_shape=(), acq_freq=0.0) -> RxState:
+    from qpsk_tpu.ops.agc import agc_init
     from qpsk_tpu.ops.differential import diff_rx_init
     from qpsk_tpu.ops.equalizer import eq_init
     from qpsk_tpu.ops.timing import timing_track_init
@@ -59,4 +61,5 @@ def rx_init(cfg: ModemConfig, batch_shape=(), acq_freq=0.0) -> RxState:
         diff_prev=diff_rx_init(batch_shape) if cfg.differential else None,
         timing=(timing_track_init(batch_shape)
                 if cfg.timing_mode == "tracking" else None),
-        eq=(eq_init(cfg.eq_taps, batch_shape) if cfg.eq_taps > 0 else None))
+        eq=(eq_init(cfg.eq_taps, batch_shape) if cfg.eq_taps > 0 else None),
+        agc=agc_init(batch_shape) if cfg.agc else None)
