@@ -193,15 +193,21 @@ def cmd_tx(args) -> int:
         rng.integers(0, 2, (args.frames, 8 * pcfg.payload_bytes), dtype=np.int32))
     _, pcm = tx_stream(cfg, tx_init(cfg), assemble_packet(pcfg, payload),
                        tx_offset_hz=args.offset_hz)
+    rate = int(args.io_rate or cfg.fs)
+    if rate != int(cfg.fs):
+        # sound-card device rate: polyphase-resample the modem-rate PCM
+        from qpsk_tpu.ops.resample import resample_pcm
+        pcm = resample_pcm(pcm.reshape(-1), cfg.fs, rate)[None, :]
     pcm = np.asarray(pcm)
     if args.out.endswith(".wav"):
         from qpsk_tpu.io import write_wav
-        write_wav(args.out, pcm.reshape(-1), int(cfg.fs))
+        write_wav(args.out, pcm.reshape(-1), rate)
     else:
         from qpsk_tpu.io import SpoolWriter
         with SpoolWriter(args.out, pcm.shape[-1]) as w:
             w.write(pcm)
-    print(json.dumps({"samples": int(pcm.size), "file": args.out}))
+    print(json.dumps({"samples": int(pcm.size), "file": args.out,
+                      "sample_rate": rate}))
     return 0
 
 
@@ -219,16 +225,27 @@ def cmd_rx(args) -> int:
     if args.infile.endswith(".wav"):
         from qpsk_tpu.io import read_wav
         pcm, sr = read_wav(args.infile)
-        if sr != int(cfg.fs):
-            print(f"error: {args.infile} is {sr} S/s, modem runs at "
-                  f"{int(cfg.fs)}", file=sys.stderr)
+        if args.io_rate and int(args.io_rate) != sr:
+            print(f"error: {args.infile} header says {sr} S/s but "
+                  f"--io-rate {int(args.io_rate)} was given", file=sys.stderr)
             return 2
     else:
         import os
         from qpsk_tpu.io import SpoolReader
+        sr = int(args.io_rate or cfg.fs)
         navail = os.path.getsize(args.infile) // (2 * cfg.frame_size)
         with SpoolReader(args.infile, cfg.frame_size) as r:
             pcm = r.read(max(navail, 1)).reshape(-1)
+    if sr != int(cfg.fs):
+        # device-rate capture: rate-convert down/up to the modem rate
+        from qpsk_tpu.ops.resample import rational_ratio, resample_pcm
+        try:
+            rational_ratio(sr, cfg.fs)
+        except ValueError:
+            print(f"error: cannot resample {sr} -> {int(cfg.fs)} S/s "
+                  "(not a small rational ratio)", file=sys.stderr)
+            return 2
+        pcm = np.asarray(resample_pcm(jnp.asarray(pcm), sr, cfg.fs))
     nframes = pcm.size // cfg.frame_size
     pcm = jnp.asarray(pcm[:nframes * cfg.frame_size].reshape(nframes,
                                                              cfg.frame_size))
@@ -277,11 +294,18 @@ def main(argv=None) -> int:
     tx = sub.add_parser("tx", help="modulate packets to an int16 PCM file")
     _add_common(tx)
     tx.add_argument("--out", type=str, default="/tmp/qpsk_tpu_spool.raw")
+    tx.add_argument("--io-rate", type=float, default=0.0,
+                    help="device sample rate (e.g. 48000): write PCM at "
+                         "this rate via the polyphase resampler (0 = modem "
+                         "rate)")
     tx.set_defaults(fn=cmd_tx)
 
     rx = sub.add_parser("rx", help="demodulate an int16 PCM file")
     _add_common(rx)
     rx.add_argument("infile", type=str)
+    rx.add_argument("--io-rate", type=float, default=0.0,
+                    help="device sample rate of the input (raw files; WAV "
+                         "carries its own): resampled to the modem rate")
     rx.set_defaults(fn=cmd_rx)
 
     def _sweep(a) -> int:
