@@ -14,6 +14,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from qpsk_tpu.ops.cplx import CF32
 
@@ -75,6 +76,73 @@ def multipath_pcm(pcm: jnp.ndarray, paths,
                 [jnp.zeros(x.shape[:-1] + (d,), jnp.float32),
                  x[..., :-d]], axis=-1)
             y = y + jnp.float32(gain) * shifted
+    return jnp.clip(jnp.round(y), -32768, 32767).astype(jnp.int16)
+
+
+def clock_offset_pcm(pcm: jnp.ndarray, ppm: float,
+                     frac_offset: float = 0.0) -> jnp.ndarray:
+    """Sample-clock mismatch between TX and RX (every real sound-card link
+    has one): resample int16 PCM at rate (1 + ppm) with a fractional start
+    offset, via Catmull-Rom cubic interpolation.
+
+    This is the impairment ``timing_mode="tracking"`` (the frame-rate
+    timing PLL, ops/timing.py) exists for — the feedforward estimators
+    re-measure the drifting phase per frame, the tracked loop follows the
+    *rate*.  Output is 8 samples shorter than the input (interpolation
+    margin; static shape).  Gathers are fine here: channel models are
+    test/simulation stimulus, not the modem hot path.
+    """
+    x = pcm.astype(jnp.float32)
+    n = x.shape[-1]
+    # margin: interpolation needs i+2 in range, and positive ppm drifts
+    # the read position past the nominal end by n*ppm samples
+    out_n = n - 8 - max(0, int(math.ceil(n * ppm)))
+    t = (jnp.float32(frac_offset) + 1.0
+         + jnp.arange(out_n, dtype=jnp.float32) * jnp.float32(1.0 + ppm))
+    i = jnp.clip(t.astype(jnp.int32), 1, n - 3)
+    mu = t - i.astype(jnp.float32)
+    xm1 = jnp.take(x, i - 1, axis=-1)
+    x0 = jnp.take(x, i, axis=-1)
+    x1 = jnp.take(x, i + 1, axis=-1)
+    x2 = jnp.take(x, i + 2, axis=-1)
+    # Catmull-Rom (the same Farrow structure as decimate_fractional)
+    a = 0.5 * (-xm1 + 3.0 * x0 - 3.0 * x1 + x2)
+    b = xm1 - 2.5 * x0 + 2.0 * x1 - 0.5 * x2
+    c = 0.5 * (x1 - xm1)
+    y = ((a * mu + b) * mu + c) * mu + x0
+    return jnp.clip(jnp.round(y), -32768, 32767).astype(jnp.int16)
+
+
+def phase_noise_pcm(key: jax.Array, pcm: jnp.ndarray, linewidth_hz: float,
+                    fs: float) -> jnp.ndarray:
+    """Oscillator phase noise on passband PCM: rotate the analytic signal
+    by a Wiener phase walk with the given Lorentzian linewidth
+    (per-sample increment variance 2*pi*linewidth/fs), take the real part.
+
+    The analytic signal comes from an FFT Hilbert transform over the whole
+    stream (one-shot simulation stimulus — O(n log n), not a streaming
+    op).  linewidth 0 returns the input unchanged.  This is the impairment
+    the gear-shift Costas loop's *tracking* bandwidth trades against: too
+    narrow and the loop cannot follow the walk, too wide and it passes
+    noise (README.md:12's hand-tuning tension, made measurable).
+    """
+    if linewidth_hz <= 0.0:
+        return pcm
+    x = pcm.astype(jnp.float32)
+    n = x.shape[-1]
+    xf = jnp.fft.fft(x.astype(jnp.complex64), axis=-1)
+    h = np.zeros(n, np.float32)
+    h[0] = 1.0
+    if n % 2 == 0:
+        h[n // 2] = 1.0
+        h[1:n // 2] = 2.0
+    else:
+        h[1:(n + 1) // 2] = 2.0
+    analytic = jnp.fft.ifft(xf * jnp.asarray(h), axis=-1)
+    sigma = math.sqrt(TAU * linewidth_hz / fs)
+    dphi = sigma * jax.random.normal(key, x.shape, jnp.float32)
+    phi = jnp.cumsum(dphi, axis=-1)
+    y = (analytic.real * jnp.cos(phi) - analytic.imag * jnp.sin(phi))
     return jnp.clip(jnp.round(y), -32768, 32767).astype(jnp.int16)
 
 

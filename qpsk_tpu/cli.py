@@ -88,6 +88,10 @@ def cmd_loopback(args) -> int:
     _, pcm = tx_stream(cfg, tx_init(cfg), chan_bits,
                        tx_offset_hz=args.offset_hz,
                        doppler_hz_per_s=args.doppler)
+    if getattr(args, "phase_noise_hz", 0.0):
+        from qpsk_tpu.channel import phase_noise_pcm
+        pcm = phase_noise_pcm(jax.random.key(args.seed + 1), pcm.reshape(-1),
+                              args.phase_noise_hz, cfg.fs).reshape(pcm.shape)
     if getattr(args, "multipath", None):
         from qpsk_tpu.channel import multipath_pcm
         paths = [(int(p.split(":")[0]), float(p.split(":")[1]))
@@ -104,6 +108,10 @@ def cmd_loopback(args) -> int:
         g = 10.0 ** (args.level_db / 20.0)
         pcm = jnp.clip(jnp.round(pcm.astype(jnp.float32) * jnp.float32(g)),
                        -32768, 32767).astype(jnp.int16)
+    if getattr(args, "clock_ppm", 0.0):
+        # RX A/D clock mismatch (pair with --timing tracking)
+        from qpsk_tpu.channel import clock_offset_pcm
+        pcm = clock_offset_pcm(pcm.reshape(-1), args.clock_ppm * 1e-6)
 
     # packet PCM length need not divide the RX frame: pad with silence
     flat = pcm.reshape(-1)
@@ -123,19 +131,22 @@ def cmd_loopback(args) -> int:
                      max_lag=default_max_lag(pcfg), probe_frames=4)
     navail = ((bits.size - skip * pcfg.frame_bits - int(sync.bit_lag))
               // pcfg.frame_bits)
+    # sustained clock drift can wrap the timing phase and slip the symbol
+    # grid: let the tracked extractors walk the bit-lag too
+    max_slip = 2 if getattr(args, "clock_ppm", 0.0) else 0
     if args.fec and not cfg.differential:
         # soft-decision extraction (LLRs from the demod symbols)
         from qpsk_tpu.ops.modmap import demod_soft
         llrs = demod_soft(CF32(out.symbols.re.reshape(-1),
                                out.symbols.im.reshape(-1)))
         rx = extract_packets_soft_tracked(pcfg, llrs[skip * pcfg.frame_bits:],
-                                          sync, navail)
+                                          sync, navail, max_slip=max_slip)
     else:
         # differential bits come from the turn-difference decode, so
         # per-bit LLRs of the absolute symbols don't apply: FEC (if on)
         # decodes hard-input inside disassemble_packet (~2 dB off soft)
         rx = extract_packets_tracked(pcfg, bits[skip * pcfg.frame_bits:],
-                                     sync, navail)
+                                     sync, navail, max_slip=max_slip)
     from qpsk_tpu.metrics import snr_estimate_db
     post = CF32(out.symbols.re[skip:], out.symbols.im[skip:])
     m = evm(post)
@@ -287,6 +298,12 @@ def main(argv=None) -> int:
     lp.add_argument("--level-db", type=float, default=0.0,
                     help="RX-side level error in dB (e.g. -26 for a quiet "
                          "input); pair with --agc")
+    lp.add_argument("--clock-ppm", type=float, default=0.0,
+                    help="TX/RX sample-clock mismatch in ppm; pair with "
+                         "--timing tracking")
+    lp.add_argument("--phase-noise-hz", type=float, default=0.0,
+                    help="TX oscillator phase-noise linewidth, Hz (Wiener "
+                         "walk)")
     lp.add_argument("--scatter", type=str, default=None,
                     help="write a constellation PNG artifact")
     lp.set_defaults(fn=cmd_loopback)

@@ -157,39 +157,66 @@ class TrackedPackets(NamedTuple):
     payload_bits: jnp.ndarray  # (nframes, 8*payload_bytes)
     crc_ok: jnp.ndarray        # (nframes,) bool
     rotation: jnp.ndarray      # (nframes,) int32 — rotation used per packet
+    shift: jnp.ndarray = None  # (nframes,) int32 — bit-lag shift used
+                               # (None-free: always filled; 0 when untracked)
 
 
-def _track_rotations(rx: RxPacket, start_rot: int) -> TrackedPackets:
-    """Host-side rotation tracker shared by the hard and soft extractors:
-    given all-4-hypothesis verdicts (4, nframes), per packet a hypothesis
-    passing CRC wins (preferring the tracked rotation) and updates the
-    track; CRC-failed packets decode at the tracked rotation."""
-    ok = np.asarray(rx.crc_ok)                     # (4, nframes)
-    payloads = np.asarray(rx.payload_bits)         # (4, nframes, bits)
-    nframes = ok.shape[1]
-    current = start_rot
+def _track_hypotheses(rx: RxPacket, start_rot: int,
+                      shifts: np.ndarray) -> TrackedPackets:
+    """Host-side (rotation × lag-shift) tracker shared by the hard and soft
+    extractors: given all-hypothesis verdicts (4, S, nframes), per packet a
+    hypothesis passing CRC wins and updates the track; CRC-failed packets
+    decode at the tracked hypothesis.  Preference order: the tracked
+    hypothesis itself, then the tracked shift at another rotation (Costas
+    cycle slip), then the nearest shift (symbol slip — the lag track may
+    only walk, |Δshift| ≤ 2 bits per packet, matching how timing slips
+    actually accrue)."""
+    ok = np.asarray(rx.crc_ok)                     # (4, S, nframes)
+    payloads = np.asarray(rx.payload_bits)         # (4, S, nframes, bits)
+    nshifts, nframes = ok.shape[1], ok.shape[2]
+    cur_r, cur_s = start_rot, int(np.flatnonzero(shifts == 0)[0])
     rot_used = np.zeros(nframes, np.int32)
+    shift_used = np.zeros(nframes, np.int32)
     out_ok = np.zeros(nframes, bool)
     out_payload = np.zeros((nframes, payloads.shape[-1]), payloads.dtype)
     for j in range(nframes):
-        passing = np.flatnonzero(ok[:, j])
-        if passing.size:
-            # prefer the tracked rotation when it passes, else adopt the
-            # (unique, modulo CRC collisions) passing hypothesis
-            r = current if ok[current, j] else int(passing[0])
-            current = r
+        r, s = cur_r, cur_s
+        if ok[r, s, j]:
             out_ok[j] = True
         else:
-            r = current
+            # candidate shifts by distance from the track, capped at one
+            # symbol (2 bits) per packet
+            found = False
+            for si in sorted(range(nshifts),
+                             key=lambda k: (abs(shifts[k] - shifts[cur_s]),
+                                            k)):
+                if abs(shifts[si] - shifts[cur_s]) > 2:
+                    continue
+                passing = np.flatnonzero(ok[:, si, j])
+                if passing.size:
+                    r, s = int(passing[0]), si
+                    found = True
+                    break
+            out_ok[j] = found
+            if found:
+                cur_r, cur_s = r, s
         rot_used[j] = r
-        out_payload[j] = payloads[r, j]
+        shift_used[j] = shifts[s]
+        out_payload[j] = payloads[r, s, j]
     return TrackedPackets(payload_bits=jnp.asarray(out_payload),
                           crc_ok=jnp.asarray(out_ok),
-                          rotation=jnp.asarray(rot_used))
+                          rotation=jnp.asarray(rot_used),
+                          shift=jnp.asarray(shift_used))
+
+
+def _shift_set(max_slip: int) -> np.ndarray:
+    """Even bit-lag shifts covering ±max_slip symbol slips, 0 first-class."""
+    return np.arange(-2 * max_slip, 2 * max_slip + 1, 2, dtype=np.int32)
 
 
 def extract_packets_tracked(pcfg: PacketConfig, bits: jnp.ndarray,
-                            sync: SyncResult, nframes: int) -> TrackedPackets:
+                            sync: SyncResult, nframes: int,
+                            max_slip: int = 0) -> TrackedPackets:
     """Like ``extract_packets`` but recovers from Costas **cycle slips**:
     at low SNR the loop occasionally slips 90°, rotating every subsequent
     symbol.  All four rotation hypotheses of every packet are disassembled
@@ -198,28 +225,43 @@ def extract_packets_tracked(pcfg: PacketConfig, bits: jnp.ndarray,
     and CRC-failed packets are decoded at the tracked rotation — so one
     slip costs at most the packet it lands in, not the rest of the stream.
     A 16-bit CRC accepts a wrong hypothesis with p = 2^-16.
-    """
+
+    ``max_slip`` > 0 additionally recovers from **symbol slips** (a
+    timing-phase wrap under sustained clock-rate offset drops or repeats
+    one symbol, shifting the whole downstream framing by ±2 bits): the
+    hypothesis set becomes rotation × bit-lag shift over
+    ±2·max_slip bits (still one batched pass, (2·max_slip+1)× the work)
+    and the tracker walks the accumulated shift at ≤ one symbol per
+    packet.  Leave headroom of 2·max_slip bits at the stream end (the
+    last packet of the +max shift hypothesis reads that far ahead)."""
     fb = pcfg.frame_bits
-    idx = sync.bit_lag + jnp.arange(nframes * fb, dtype=jnp.int32)
-    frames = bits[idx].reshape(nframes, fb)
-    # all rotations, batched: (4, nframes, fb) -> payloads + crc verdicts
+    shifts = _shift_set(max_slip)
+    base = sync.bit_lag + jnp.arange(nframes * fb, dtype=jnp.int32)
+    idx = jnp.clip(base[None, :] + jnp.asarray(shifts)[:, None],
+                   0, bits.shape[0] - 1)
+    frames = bits[idx].reshape(len(shifts), nframes, fb)
+    # all rotations x shifts, batched: (4, S, nframes, fb)
     cand = jnp.stack([rotate_dibits(frames, r) for r in range(4)])
-    return _track_rotations(disassemble_packet(pcfg, cand),
-                            int(sync.rotation))
+    return _track_hypotheses(disassemble_packet(pcfg, cand),
+                             int(sync.rotation), shifts)
 
 
 def extract_packets_soft_tracked(pcfg: PacketConfig, llrs: jnp.ndarray,
-                                 sync: SyncResult,
-                                 nframes: int) -> TrackedPackets:
-    """Soft-decision twin of ``extract_packets_tracked``: all four rotation
-    hypotheses ride the batch axis through the soft disassembly (incl. the
-    Viterbi scan when ``pcfg.fec``), then the same rotation tracker picks
-    per packet.  This is the robust low-SNR soft path — exactly where FEC
-    operates, cycle slips are routine, so the soft extractor needs slip
-    recovery even more than the hard one."""
+                                 sync: SyncResult, nframes: int,
+                                 max_slip: int = 0) -> TrackedPackets:
+    """Soft-decision twin of ``extract_packets_tracked``: all rotation (and
+    with ``max_slip`` > 0, lag-shift) hypotheses ride the batch axis
+    through the soft disassembly (incl. the Viterbi scan when
+    ``pcfg.fec``), then the same tracker picks per packet.  This is the
+    robust low-SNR soft path — exactly where FEC operates, cycle slips are
+    routine, so the soft extractor needs slip recovery even more than the
+    hard one."""
     fb = pcfg.frame_bits
-    idx = sync.bit_lag + jnp.arange(nframes * fb, dtype=jnp.int32)
-    frames = llrs[idx].reshape(nframes, fb)
+    shifts = _shift_set(max_slip)
+    base = sync.bit_lag + jnp.arange(nframes * fb, dtype=jnp.int32)
+    idx = jnp.clip(base[None, :] + jnp.asarray(shifts)[:, None],
+                   0, llrs.shape[0] - 1)
+    frames = llrs[idx].reshape(len(shifts), nframes, fb)
     cand = jnp.stack([rotate_soft(frames, r) for r in range(4)])
-    return _track_rotations(disassemble_packet_soft(pcfg, cand),
-                            int(sync.rotation))
+    return _track_hypotheses(disassemble_packet_soft(pcfg, cand),
+                             int(sync.rotation), shifts)
