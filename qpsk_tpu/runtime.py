@@ -19,9 +19,11 @@ Behavior:
   ``cfg.acquisition == "fft"``; parity mode cold-starts like the C loop);
 * packet sync (rotation + alignment) happens automatically once enough
   post-transient bits accumulate — a sliding hunt across the bit stream —
-  and is CRC-tracked thereafter (cycle slips cost one packet, not the
-  stream); each drained span disassembles all four rotation hypotheses in
-  ONE batched device pass;
+  and is CRC-tracked thereafter: Costas cycle slips (90° rotations) and,
+  with ``slip_track`` > 0, timing symbol slips (±2-bit framing shifts
+  under sustained clock drift) each cost one packet, not the stream; each
+  drained span disassembles all rotation × lag-shift hypotheses in ONE
+  batched device pass;
 * with ``pcfg.fec`` the receiver buffers LLRs alongside the hard bits and
   drains packets through soft-decision Viterbi (~2 dB over hard-input
   decoding) — hard bits still drive the CRC-scored sync hunt;
@@ -75,13 +77,21 @@ class StreamDemodulator:
 
     def __init__(self, cfg: ModemConfig, pcfg: PacketConfig,
                  sync_skip_frames: int = 8, probe_frames: int = 4,
-                 resync_after: int = 8, bucket_frames: int = 8):
+                 resync_after: int = 8, bucket_frames: int = 8,
+                 slip_track: int = 1):
         self.cfg = cfg
         self.pcfg = pcfg
         self.sync_skip = sync_skip_frames * pcfg.frame_bits
         self.probe_frames = probe_frames
         self.resync_after = resync_after
         self.bucket_frames = bucket_frames
+        # slip_track > 0: per-drain hypotheses also span bit-lag shifts of
+        # ±2*slip_track, so a SYMBOL slip (timing-phase wrap under clock
+        # drift repeats/drops one symbol, shifting all later framing by
+        # 2 bits) costs one packet instead of resync_after packets + a
+        # full re-hunt.  The adopted shift folds into the buffer offset at
+        # each span end (sync.extract_packets_tracked is the batch twin).
+        self.slip_track = slip_track
         self.counters = LinkCounters()
         # Exactly TWO static rx_stream shapes ever compile, regardless of
         # the chunk sizes pushed: (bucket_frames, frame) for steady-state
@@ -105,6 +115,10 @@ class StreamDemodulator:
         self._rotation = 0
         self._consecutive_bad = 0
         self._pkt_index = 0
+        # last 2*slip_track consumed bits (negative-shift hypotheses read
+        # back into them); zeros at an epoch start
+        self._lead = np.zeros(2 * slip_track, np.int32)
+        self._lead_llr = np.zeros(2 * slip_track, np.float32)
 
     # ------------------------------------------------------------------
     def push(self, pcm: np.ndarray) -> list[Packet]:
@@ -170,6 +184,9 @@ class StreamDemodulator:
                 self.counters.synced = True
                 self.sync_skip = 0  # future resyncs hunt from the head
                 self._pkt_index = 0  # stream_index restarts per sync epoch
+                # fresh epoch: the lead window's continuity is gone
+                self._lead = np.zeros(2 * self.slip_track, np.int32)
+                self._lead_llr = np.zeros(2 * self.slip_track, np.float32)
                 return True
             # no sync in [sync_skip, sync_skip + window): those bits are
             # dead — slide the hunt forward if more stream remains, and
@@ -185,64 +202,92 @@ class StreamDemodulator:
 
     def _drain(self) -> list[Packet]:
         fb = self.pcfg.frame_bits
+        st = self.slip_track
+        hw = 2 * st                     # bit headroom at each end
+        shifts = np.arange(-hw, hw + 1, 2, dtype=np.int64)
         out: list[Packet] = []
         while True:
             if self._sync is None and not self._try_sync():
                 return out
             nf = self._bit_buf.size // fb
-            if nf == 0:
+            if nf <= 0:
                 return out
-            frames = jnp.asarray(
-                self._bit_buf[:nf * fb]).reshape(nf, fb)
-            self._bit_buf = self._bit_buf[nf * fb:]
-            # one batched pass over all frames x all 4 rotations
+            # hypothesis spans at every bit-lag shift: the lead window
+            # serves the negative shifts, zero right-padding the positive
+            # ones (a +shift hypothesis on the final packet reads padding
+            # and just fails CRC); nothing is consumed until the walk
+            # below decides how far the track actually advanced
+            ext = np.concatenate(
+                [self._lead, self._bit_buf, np.zeros(hw, np.int32)])
+            spans = np.stack([ext[hw + s: hw + s + nf * fb] for s in shifts])
+            # one batched pass over all frames x 4 rotations x shifts
             if self._use_soft:
-                soft = jnp.asarray(
-                    self._llr_buf[:nf * fb]).reshape(nf, fb)
-                self._llr_buf = self._llr_buf[nf * fb:]
+                ext_l = np.concatenate(
+                    [self._lead_llr, self._llr_buf, np.zeros(hw, np.float32)])
+                spans_l = np.stack(
+                    [ext_l[hw + s: hw + s + nf * fb] for s in shifts])
+                soft = jnp.asarray(spans_l.reshape(len(shifts), nf, fb))
                 cand = jnp.stack([rotate_soft(soft, r) for r in range(4)])
                 rx = disassemble_packet_soft(self.pcfg, cand)
             else:
+                frames = jnp.asarray(spans.reshape(len(shifts), nf, fb))
                 cand = jnp.stack([rotate_dibits(frames, r)
                                   for r in range(4)])
                 rx = disassemble_packet(self.pcfg, cand)
-            ok = np.asarray(rx.crc_ok)               # (4, nf)
-            payloads = np.asarray(rx.payload_bits)   # (4, nf, bits)
-            resync = False
+            ok = np.asarray(rx.crc_ok)               # (4, S, nf)
+            payloads = np.asarray(rx.payload_bits)   # (4, S, nf, bits)
+            cur_si = st                              # grid index of shift 0
+            stop_j = None
             for j in range(nf):
-                passing = np.flatnonzero(ok[:, j])
-                if passing.size:
-                    r = (self._rotation if ok[self._rotation, j]
-                         else int(passing[0]))
-                    self._rotation = r
+                r, si = self._rotation, cur_si
+                good = bool(ok[r, si, j])
+                if not good:
+                    # nearest-shift walk, <= one symbol (2 bits) per packet
+                    # (sync._track_hypotheses is the batch-extractor twin)
+                    for ci in sorted(range(len(shifts)),
+                                     key=lambda k:
+                                     (abs(shifts[k] - shifts[cur_si]), k)):
+                        if abs(shifts[ci] - shifts[cur_si]) > 2:
+                            continue
+                        passing = np.flatnonzero(ok[:, ci, j])
+                        if passing.size:
+                            r, si = int(passing[0]), ci
+                            good = True
+                            break
+                if good:
+                    self._rotation, cur_si = r, si
                     self._consecutive_bad = 0
-                    good = True
                 else:
-                    r = self._rotation
                     self.counters.crc_failures += 1
                     self._consecutive_bad += 1
-                    good = False
-                out.append(Packet(payloads[r, j], good, self._pkt_index))
+                out.append(Packet(payloads[r, si, j], good, self._pkt_index))
                 self._pkt_index += 1
                 self.counters.packets += 1
                 if self._consecutive_bad >= self.resync_after:
-                    # lost the channel: drop sync and re-arm (SURVEY.md §5)
-                    self._sync = None
-                    self.counters.synced = False
-                    self.counters.resyncs += 1
-                    self._consecutive_bad = 0
-                    # return unconsumed frames to the buffer and re-hunt
-                    rest = np.asarray(frames[j + 1:]).reshape(-1)
-                    self._bit_buf = np.concatenate(
-                        [rest.astype(np.int32), self._bit_buf])
-                    if self._use_soft:
-                        rest_s = np.asarray(soft[j + 1:]).reshape(-1)
-                        self._llr_buf = np.concatenate(
-                            [rest_s.astype(np.float32), self._llr_buf])
-                    resync = True
+                    stop_j = j
                     break
-            if not resync:
+            # consume through the last emitted packet, folding the adopted
+            # shift into the buffer offset, and refresh the lead window.
+            # A +shift on the very last bits would consume past the buffer:
+            # cap it — the walk simply re-adopts the shift from the next
+            # span's hypotheses (one extra CRC miss, no packet lost).
+            last = nf if stop_j is None else stop_j + 1
+            consumed = min(last * fb + int(shifts[cur_si]),
+                           self._bit_buf.size)
+            self._lead = ext[consumed: consumed + hw].astype(np.int32)
+            self._bit_buf = self._bit_buf[consumed:]
+            if self._use_soft:
+                self._lead_llr = ext_l[consumed: consumed + hw].astype(
+                    np.float32)
+                self._llr_buf = self._llr_buf[consumed:]
+            if stop_j is None:
                 return out
+            # lost the channel: drop sync and re-arm (SURVEY.md §5); the
+            # unconsumed remainder stays buffered for the re-hunt
+            self._sync = None
+            self.counters.synced = False
+            self.counters.resyncs += 1
+            self._consecutive_bad = 0
 
     def flush(self) -> list[Packet]:
         """Demodulate any buffered whole frames (the sub-bucket remainder,
