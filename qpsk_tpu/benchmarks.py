@@ -228,6 +228,52 @@ def frontend_throughput(impl: str = "pallas", channels: int | None = None,
     return rec
 
 
+def costas_throughput(impl: str = "pallas", channels: int | None = None,
+                      nsym: int | None = None, iters: int | None = None,
+                      inner: int | None = None) -> dict:
+    """Costas-loop-only rate in *symbols*/second for one lowering
+    (``impl`` = "pallas" fused kernel / "scan" lax.scan) — the README's
+    Costas-kernel row regenerates from here.  Channels ride the lanes;
+    the recurrence is the serial axis."""
+    from qpsk_tpu.ops.costas import costas_init, costas_params, costas_run
+    from qpsk_tpu.ops.cplx import CF32
+
+    platform = jax.devices()[0].platform
+    channels = channels or (2048 if platform == "tpu" else 128)
+    nsym = nsym or (2048 if platform == "tpu" else 128)
+    iters = iters or (10 if platform == "tpu" else 2)
+    inner = inner or (10 if platform == "tpu" else 2)
+
+    kr, ki = jax.random.split(jax.random.key(0))
+    z = CF32(jax.random.normal(kr, (channels, nsym), jnp.float32),
+             jax.random.normal(ki, (channels, nsym), jnp.float32))
+    params = costas_params(loop_bw=2.0 * np.pi / 100.0)
+    state0 = costas_init(batch_shape=(channels,))
+
+    if impl == "pallas":
+        import functools
+        from qpsk_tpu.ops.pallas.costas_kernel import costas_run_pallas
+        run = functools.partial(costas_run_pallas,
+                                interpret=platform != "tpu")
+    else:
+        run = costas_run
+
+    @jax.jit
+    def step(st, z):
+        def body(_, carry):
+            st, acc = carry
+            st, out = run(st, z, params)
+            return st, acc + jnp.sum(out.re[..., -1])
+        return jax.lax.fori_loop(0, inner, body,
+                                 (st, jnp.zeros((), jnp.float32)))
+
+    dt = _time_chained(step, state0, z, iters)
+    sps = channels * nsym * inner * iters / dt
+    return {"metric": f"costas_throughput_{impl}", "value": round(sps, 1),
+            "unit": "symbols/s", "platform": platform,
+            "channels": channels, "nsym": nsym}
+
+
 def single_stream_serial_throughput(frames: int | None = None,
                                     iters: int | None = None,
                                     inner: int | None = None) -> dict:

@@ -88,9 +88,10 @@ def clock_offset_pcm(pcm: jnp.ndarray, ppm: float,
     This is the impairment ``timing_mode="tracking"`` (the frame-rate
     timing PLL, ops/timing.py) exists for — the feedforward estimators
     re-measure the drifting phase per frame, the tracked loop follows the
-    *rate*.  Output is 8 samples shorter than the input (interpolation
-    margin; static shape).  Gathers are fine here: channel models are
-    test/simulation stimulus, not the modem hot path.
+    *rate*.  Output is ``8 + max(0, ceil(n*ppm))`` samples shorter than the
+    input (interpolation margin plus the extra span a positive ppm reads
+    past the nominal end; static shape).  Gathers are fine here: channel
+    models are test/simulation stimulus, not the modem hot path.
     """
     x = pcm.astype(jnp.float32)
     n = x.shape[-1]
@@ -121,7 +122,10 @@ def phase_noise_pcm(key: jax.Array, pcm: jnp.ndarray, linewidth_hz: float,
 
     The analytic signal comes from an FFT Hilbert transform over the whole
     stream (one-shot simulation stimulus — O(n log n), not a streaming
-    op).  linewidth 0 returns the input unchanged.  This is the impairment
+    op).  This is the one deliberate exception to the split-plane-CF32
+    device invariant: a complex64 FFT pair on test stimulus, never in the
+    modem path (CLAUDE.md "Invariants").  linewidth 0 returns the input
+    unchanged.  This is the impairment
     the gear-shift Costas loop's *tracking* bandwidth trades against: too
     narrow and the loop cannot follow the walk, too wide and it passes
     noise (README.md:12's hand-tuning tension, made measurable).

@@ -361,6 +361,10 @@ def main(argv=None) -> int:
         suites = {
             "rx": B.rx_throughput,
             "tx": B.tx_throughput,
+            "frontend": lambda: [B.frontend_throughput("pallas"),
+                                 B.frontend_throughput("xla")],
+            "costas": lambda: [B.costas_throughput("pallas"),
+                               B.costas_throughput("scan")],
             "serial": B.single_stream_serial_throughput,
             "blockparallel": B.single_stream_blockparallel_throughput,
         }
@@ -368,17 +372,17 @@ def main(argv=None) -> int:
             for rec in B.scaling_efficiency():
                 print(json.dumps(rec))
             return 0
-        if a.suite == "all":
-            for fn in suites.values():
-                print(json.dumps(fn()))
-            return 0
-        print(json.dumps(suites[a.suite]()))
+        names = list(suites) if a.suite == "all" else [a.suite]
+        for name in names:
+            recs = suites[name]()
+            for rec in recs if isinstance(recs, list) else [recs]:
+                print(json.dumps(rec))
         return 0
 
     be = sub.add_parser("bench", help="throughput benchmark")
     be.add_argument("--suite", type=str, default="rx",
-                    choices=["rx", "tx", "serial", "blockparallel",
-                             "scaling", "all"],
+                    choices=["rx", "tx", "frontend", "costas", "serial",
+                             "blockparallel", "scaling", "all"],
                     help="which benchmark to run (all = every throughput "
                          "suite; scaling = weak-scaling efficiency sweep)")
     be.set_defaults(fn=_bench)

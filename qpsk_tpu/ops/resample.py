@@ -103,8 +103,11 @@ def resample_stream(x: jnp.ndarray, state: jnp.ndarray, l: int, m: int,
                     taps_per_phase: int = 16, beta: float = 8.0):
     """Convert (..., n) float32 samples by L/M; n must divide by M.
 
-    Returns (y (..., n*L/M), new_state).  Chunked calls chain bit-exactly
-    with one call over the concatenated input.
+    Returns (y (..., n*L/M), new_state).  Chunked calls chain with one call
+    over the concatenated input: bit-exactly when the chunks are large
+    enough that XLA picks the same matmul tiling (the tested 1600+-sample
+    chunks), and to float32 rounding (~1 ulp) in general — tiny chunks
+    lower to a differently-tiled (often vector-matrix) product.
     """
     g_np, q = _poly_matrix(l, m, taps_per_phase, beta)
     n = x.shape[-1]
@@ -123,7 +126,10 @@ def resample_stream(x: jnp.ndarray, state: jnp.ndarray, l: int, m: int,
                         axis=-1)                         # (..., J, (Q+1)M)
     y = jnp.matmul(w, jnp.asarray(g_np),
                    preferred_element_type=jnp.float32)   # (..., J, L)
-    new_state = x[..., n - q * m:]
+    # Next call's history is the last Q*M input samples *including* the
+    # carried state: a chunk shorter than Q*M (n - q*m < 0) must keep the
+    # tail of the previous history, so slice ext, not x.
+    new_state = ext.reshape(batch + ((j + q) * m,))[..., -q * m:]
     return y.reshape(batch + (j * l,)), new_state
 
 

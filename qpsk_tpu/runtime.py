@@ -53,7 +53,7 @@ from qpsk_tpu.packet.frame import (PacketConfig, disassemble_packet,
                                    disassemble_packet_soft)
 from qpsk_tpu.state import rx_init
 from qpsk_tpu.sync import (SyncResult, default_max_lag, find_sync,
-                           rotate_dibits, rotate_soft)
+                           rotate_dibits, rotate_soft, walk_step)
 
 
 class Packet(NamedTuple):
@@ -219,7 +219,6 @@ class StreamDemodulator:
             # below decides how far the track actually advanced
             ext = np.concatenate(
                 [self._lead, self._bit_buf, np.zeros(hw, np.int32)])
-            spans = np.stack([ext[hw + s: hw + s + nf * fb] for s in shifts])
             # one batched pass over all frames x 4 rotations x shifts
             if self._use_soft:
                 ext_l = np.concatenate(
@@ -230,6 +229,8 @@ class StreamDemodulator:
                 cand = jnp.stack([rotate_soft(soft, r) for r in range(4)])
                 rx = disassemble_packet_soft(self.pcfg, cand)
             else:
+                spans = np.stack(
+                    [ext[hw + s: hw + s + nf * fb] for s in shifts])
                 frames = jnp.asarray(spans.reshape(len(shifts), nf, fb))
                 cand = jnp.stack([rotate_dibits(frames, r)
                                   for r in range(4)])
@@ -239,21 +240,10 @@ class StreamDemodulator:
             cur_si = st                              # grid index of shift 0
             stop_j = None
             for j in range(nf):
-                r, si = self._rotation, cur_si
-                good = bool(ok[r, si, j])
-                if not good:
-                    # nearest-shift walk, <= one symbol (2 bits) per packet
-                    # (sync._track_hypotheses is the batch-extractor twin)
-                    for ci in sorted(range(len(shifts)),
-                                     key=lambda k:
-                                     (abs(shifts[k] - shifts[cur_si]), k)):
-                        if abs(shifts[ci] - shifts[cur_si]) > 2:
-                            continue
-                        passing = np.flatnonzero(ok[:, ci, j])
-                        if passing.size:
-                            r, si = int(passing[0]), ci
-                            good = True
-                            break
+                # shared per-packet (rotation x shift) walk — one policy for
+                # the streaming and batch extractors (sync.walk_step)
+                good, r, si = walk_step(ok[:, :, j], shifts,
+                                        self._rotation, cur_si)
                 if good:
                     self._rotation, cur_si = r, si
                     self._consecutive_bad = 0

@@ -161,6 +161,27 @@ class TrackedPackets(NamedTuple):
                                # (None-free: always filled; 0 when untracked)
 
 
+def walk_step(ok_j: np.ndarray, shifts: np.ndarray, cur_r: int,
+              cur_s: int) -> tuple[bool, int, int]:
+    """One packet's hypothesis walk, shared by the batch tracker below and
+    the streaming ``StreamDemodulator._drain``: if the tracked (rotation,
+    shift-index) fails CRC, try candidate shifts ordered by distance from
+    the track (capped at one symbol = 2 bits per packet — how timing slips
+    actually accrue), any rotation.  ``ok_j`` is the (4, S) CRC verdict grid
+    for this packet.  Returns (good, rotation, shift_index); on failure the
+    tracked hypothesis is returned unchanged (decode at the track)."""
+    if ok_j[cur_r, cur_s]:
+        return True, cur_r, cur_s
+    for si in sorted(range(len(shifts)),
+                     key=lambda k: (abs(shifts[k] - shifts[cur_s]), k)):
+        if abs(shifts[si] - shifts[cur_s]) > 2:
+            continue
+        passing = np.flatnonzero(ok_j[:, si])
+        if passing.size:
+            return True, int(passing[0]), si
+    return False, cur_r, cur_s
+
+
 def _track_hypotheses(rx: RxPacket, start_rot: int,
                       shifts: np.ndarray) -> TrackedPackets:
     """Host-side (rotation × lag-shift) tracker shared by the hard and soft
@@ -173,33 +194,17 @@ def _track_hypotheses(rx: RxPacket, start_rot: int,
     actually accrue)."""
     ok = np.asarray(rx.crc_ok)                     # (4, S, nframes)
     payloads = np.asarray(rx.payload_bits)         # (4, S, nframes, bits)
-    nshifts, nframes = ok.shape[1], ok.shape[2]
+    nframes = ok.shape[2]
     cur_r, cur_s = start_rot, int(np.flatnonzero(shifts == 0)[0])
     rot_used = np.zeros(nframes, np.int32)
     shift_used = np.zeros(nframes, np.int32)
     out_ok = np.zeros(nframes, bool)
     out_payload = np.zeros((nframes, payloads.shape[-1]), payloads.dtype)
     for j in range(nframes):
-        r, s = cur_r, cur_s
-        if ok[r, s, j]:
-            out_ok[j] = True
-        else:
-            # candidate shifts by distance from the track, capped at one
-            # symbol (2 bits) per packet
-            found = False
-            for si in sorted(range(nshifts),
-                             key=lambda k: (abs(shifts[k] - shifts[cur_s]),
-                                            k)):
-                if abs(shifts[si] - shifts[cur_s]) > 2:
-                    continue
-                passing = np.flatnonzero(ok[:, si, j])
-                if passing.size:
-                    r, s = int(passing[0]), si
-                    found = True
-                    break
-            out_ok[j] = found
-            if found:
-                cur_r, cur_s = r, s
+        good, r, s = walk_step(ok[:, :, j], shifts, cur_r, cur_s)
+        out_ok[j] = good
+        if good:
+            cur_r, cur_s = r, s
         rot_used[j] = r
         shift_used[j] = shifts[s]
         out_payload[j] = payloads[r, s, j]

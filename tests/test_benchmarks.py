@@ -4,8 +4,8 @@ these validate the harness, not silicon)."""
 
 import numpy as np
 
-from qpsk_tpu.benchmarks import (frontend_throughput, rx_throughput,
-                                 scaling_efficiency,
+from qpsk_tpu.benchmarks import (costas_throughput, frontend_throughput,
+                                 rx_throughput, scaling_efficiency,
                                  single_stream_blockparallel_throughput,
                                  single_stream_serial_throughput,
                                  tx_throughput)
@@ -39,6 +39,15 @@ def test_scaling_efficiency_records():
         assert r["throughput_sps"] > 0
         if r["devices"] == 1:
             assert r["efficiency"] == 1.0
+
+
+def test_costas_throughput_records():
+    for impl in ("scan", "pallas"):
+        r = costas_throughput(impl=impl, channels=128, nsym=16,
+                              iters=1, inner=1)
+        assert r["metric"] == f"costas_throughput_{impl}"
+        assert r["value"] > 0
+        assert r["unit"] == "symbols/s"
 
 
 def test_frontend_throughput_roofline():

@@ -103,6 +103,33 @@ def test_streaming_chunks_bit_exact():
         np.testing.assert_array_equal(np.concatenate(outs, axis=1), one)
 
 
+def test_streaming_short_chunks_chain():
+    """Chunks shorter than the carried history (Q*M samples) must chain
+    correctly: the new state is the tail of [state | chunk], not of the
+    chunk alone (a chunk-only slice silently returns the whole short chunk
+    and corrupts the stream).  48000 -> 9600 (l=1, m=5) has Q*M = 80; feed
+    one-group (5-sample) chunks.  Tolerance, not equality: XLA tiles the
+    J=1 matmul differently from the big-J one, so outputs agree to float32
+    rounding (~1 ulp), unlike the same-scale chunking above."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1200,)).astype(np.float32))
+    for l, m in ((1, 5), (147, 32)):
+        n = x.shape[-1] - (x.shape[-1] % m)
+        one = np.asarray(resample(x[:n], l, m))
+        st = resample_init(l, m)
+        outs = []
+        pos = 0
+        for chunk in ([m] * 8 + [5 * m, n]):  # tiny, then the rest
+            take = min(chunk, n - pos)
+            if take == 0:
+                break
+            y, st = resample_stream(x[pos:pos + take], st, l, m)
+            outs.append(np.asarray(y))
+            pos += take
+        np.testing.assert_allclose(np.concatenate(outs), one,
+                                   rtol=2e-7, atol=1e-6)
+
+
 def test_round_trip_identity():
     """9600 -> 48000 -> 9600 preserves in-band content: each probe tone
     returns at its amplitude (±1%) and the non-tone residual is ~50 dB
