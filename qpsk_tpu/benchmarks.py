@@ -12,12 +12,15 @@ Measurement discipline (matters on tunneled/remote TPU backends):
   ``np.asarray`` of a full output would measure the transfer;
 * iterations chain the state pytree so XLA cannot overlap them.
 
-Measured on one TPU v5e chip (2026-08-17): **21.2 Gsamples/s** at 2048
-channels — ~1700x the 12.5 MS/s per-chip share of the BASELINE 100 MS/s
-v5e-8 target.  The fused mix-free Pallas front-end kernel runs 34.4 GS/s
-standalone (chunked Toeplitz + scratch halo + modulated taps,
-ops/pallas/frontend_kernel.py) vs 8.8 GS/s for the staged XLA chain; the
-fused Costas kernel 46.8 GS/s at 2048 channels x 2048 symbols.  Two
+Measured on one TPU v5e chip (2026-08-18, docs/bench_suite_v5e.jsonl):
+**24.0 Gsamples/s** aggregate RX at 2048 channels — ~1900x the 12.5 MS/s
+per-chip share of the BASELINE 100 MS/s v5e-8 target.  The fused mix-free
+Pallas front-end kernel runs 43.1 GS/s standalone (chunked Toeplitz +
+scratch halo + modulated taps, ops/pallas/frontend_kernel.py) vs 9.2 GS/s
+for the staged XLA chain; the fused Costas kernel 16.8 Gsymbols/s at 2048
+channels x 2048 symbols (3.5x the lax.scan lowering).  The parts compose:
+per-sample, 1/43.1e9 (front-end) + 1/(4*16.8e9) (Costas at 4 samp/sym)
+predicts 25.8 GS/s — the measured 24.0 is that minus slicer/glue.  Two
 things matter equally: the fused rx_stream path (one Pallas front-end
 kernel + a single Pallas Costas kernel with the channel batch on the
 lanes), and amortizing the relayed backend's ~1.8 ms per-launch cost
@@ -42,11 +45,16 @@ def _sync_scalar(x) -> float:
     return float(np.asarray(x))
 
 
-def _time_chained(step, state0, x, iters: int) -> float:
-    """Amortized wall time of ``iters`` chained step() dispatches: one
-    warmup (compile + hard sync), then the timed chain with a single
-    scalar readback at the end."""
-    _, chk = step(state0, x)
+def _time_chained(step, state0, x, iters: int, warmup: int = 3) -> float:
+    """Amortized wall time of ``iters`` chained step() dispatches: a few
+    warmup calls (compile + executable upload + clock ramp — the first
+    dispatches after a relayed compile run ~2x slow), then the timed chain
+    with a single scalar readback at the end.  Keep the timed window ≥~1 s
+    on relayed backends: short windows measure the transient, not the chip
+    (measured 2026-08-18: iters=20 read 21.6 GS/s where iters=60 read
+    24.1 on the identical graph)."""
+    for _ in range(warmup):
+        _, chk = step(state0, x)
     _sync_scalar(chk)
     t0 = time.perf_counter()
     st = state0
@@ -67,16 +75,16 @@ def tx_throughput(channels: int | None = None, frames: int | None = None,
     platform = jax.devices()[0].platform
     channels = channels or (2048 if platform == "tpu" else 16)
     frames = frames or (16 if platform == "tpu" else 4)
-    iters = iters or (20 if platform == "tpu" else 3)
+    iters = iters or (60 if platform == "tpu" else 3)
     # see rx_throughput for why inner>1 matters.  The round-1 TX compile
     # blow-up (>30 min) was the 4-entry constellation *gather* in
     # bits_to_symbols lowering pathologically inside the fori_loop; with
     # the gather-free closed form (ops/modmap.py) the inner=10 graph
     # compiles in seconds and TX gets the same dispatch-amortized
-    # discipline as RX.  Measured on v5e (2026-08-17): 17.3 GS/s via the
-    # staged XLA chain; 40.0 GS/s via the fused polyphase Pallas kernel
-    # (ops/pallas/tx_kernel.py, the default on TPU), whose single
-    # interleaved matmul never materializes the zero-stuffed signal.
+    # discipline as RX.  Measured on v5e (2026-08-18): 50.7 GS/s via the
+    # fused polyphase Pallas kernel (ops/pallas/tx_kernel.py, the default
+    # on TPU), whose single interleaved matmul never materializes the
+    # zero-stuffed signal; the staged XLA chain measured 2.3x slower.
     inner = inner or (10 if platform == "tpu" else 2)
     nsym = cfg.symbols_per_frame
     nsamples = channels * frames * cfg.frame_size
@@ -96,14 +104,7 @@ def tx_throughput(channels: int | None = None, frames: int | None = None,
             0, inner, body, (st, jnp.zeros((), jnp.int32)))
         return st, acc
 
-    st, chk = step(state, bits)
-    float(np.asarray(chk))
-    t0 = time.perf_counter()
-    st = state
-    for _ in range(iters):
-        st, chk = step(st, bits)
-    float(np.asarray(chk))
-    dt = time.perf_counter() - t0
+    dt = _time_chained(step, state, bits, iters)
     sps = nsamples * inner * iters / dt
     return {"metric": "tx_mod_throughput", "value": round(sps, 1),
             "unit": "samples/s", "platform": platform, "channels": channels}
@@ -120,7 +121,7 @@ def rx_throughput(channels: int | None = None, frames: int | None = None,
     platform = jax.devices()[0].platform
     channels = channels or (2048 if platform == "tpu" else 16)
     frames = frames or (16 if platform == "tpu" else 4)
-    iters = iters or (20 if platform == "tpu" else 3)
+    iters = iters or (60 if platform == "tpu" else 3)
     # inner: chained steps per dispatch.  A single relayed-executable launch
     # costs ~1.8 ms on the tunneled backend (measured: a null x*2 jit) —
     # comparable to the whole pipeline's device time — so per-call timing
@@ -152,16 +153,7 @@ def rx_throughput(channels: int | None = None, frames: int | None = None,
             0, inner, body, (st, jnp.zeros((), jnp.int32)))
         return st, acc
 
-    st, chk = step(state, pcm)
-    float(np.asarray(chk))                      # compile + hard sync
-
-    t0 = time.perf_counter()
-    st = state
-    for _ in range(iters):
-        st, chk = step(st, pcm)
-    float(np.asarray(chk))                      # hard sync on the chain
-    dt = time.perf_counter() - t0
-
+    dt = _time_chained(step, state, pcm, iters)
     sps = nsamples * inner * iters / dt
     per_chip_target = 100e6 / 8.0
     return {
@@ -189,7 +181,7 @@ def frontend_throughput(impl: str = "pallas", channels: int | None = None,
     platform = jax.devices()[0].platform
     channels = channels or (2048 if platform == "tpu" else 16)
     frames = frames or (16 if platform == "tpu" else 4)
-    iters = iters or (20 if platform == "tpu" else 3)
+    iters = iters or (60 if platform == "tpu" else 3)
     inner = inner or (10 if platform == "tpu" else 2)
     nsamples = channels * frames * cfg.frame_size
 
@@ -241,37 +233,114 @@ def costas_throughput(impl: str = "pallas", channels: int | None = None,
     platform = jax.devices()[0].platform
     channels = channels or (2048 if platform == "tpu" else 128)
     nsym = nsym or (2048 if platform == "tpu" else 128)
-    iters = iters or (10 if platform == "tpu" else 2)
+    iters = iters or (60 if platform == "tpu" else 2)
     inner = inner or (10 if platform == "tpu" else 2)
 
     kr, ki = jax.random.split(jax.random.key(0))
-    z = CF32(jax.random.normal(kr, (channels, nsym), jnp.float32),
-             jax.random.normal(ki, (channels, nsym), jnp.float32))
     params = costas_params(loop_bw=2.0 * np.pi / 100.0)
-    state0 = costas_init(batch_shape=(channels,))
 
     if impl == "pallas":
-        import functools
-        from qpsk_tpu.ops.pallas.costas_kernel import costas_run_pallas
-        run = functools.partial(costas_run_pallas,
-                                interpret=platform != "tpu")
+        # Kernel-alone measurement in the kernel's native time-major
+        # sublane-folded layout.  Feeding the (C, T) API here would bench
+        # five full-plane transposes that rx_stream doesn't pay (the
+        # fold/unfold fuses into the front-end producer and the slicer
+        # consumer) — at 2048x2048 those transposes cost ~0.6x the kernel
+        # itself and the "kernel" number would really be a layout number.
+        from qpsk_tpu.ops.pallas.costas_kernel import (_costas_pallas_tc,
+                                                       _pick_tiles)
+        sg, lt, tt = _pick_tiles(channels, nsym)
+        ll = channels // sg
+        zr = jax.random.normal(kr, (nsym * sg, ll), jnp.float32)
+        zi = jax.random.normal(ki, (nsym * sg, ll), jnp.float32)
+        params_vec = jnp.stack([params.alpha, params.beta,
+                                params.min_freq, params.max_freq])
+        state0 = (jnp.zeros((sg, ll), jnp.float32),
+                  jnp.zeros((sg, ll), jnp.float32))
+        interp = platform != "tpu"
+
+        @jax.jit
+        def step(st, z):
+            zr, zi = z
+            def body(_, carry):
+                st, acc = carry
+                out = _costas_pallas_tc(zr, zi, st, params_vec, sg=sg,
+                                        lt=lt, tt=tt, interpret=interp)
+                return tuple(out[3:]), acc + jnp.sum(out[0][-1])
+            return jax.lax.fori_loop(0, inner, body,
+                                     (st, jnp.zeros((), jnp.float32)))
+
+        dt = _time_chained(step, state0, (zr, zi), iters)
     else:
-        run = costas_run
+        z = CF32(jax.random.normal(kr, (channels, nsym), jnp.float32),
+                 jax.random.normal(ki, (channels, nsym), jnp.float32))
+        state0 = costas_init(batch_shape=(channels,))
 
-    @jax.jit
-    def step(st, z):
-        def body(_, carry):
-            st, acc = carry
-            st, out = run(st, z, params)
-            return st, acc + jnp.sum(out.re[..., -1])
-        return jax.lax.fori_loop(0, inner, body,
-                                 (st, jnp.zeros((), jnp.float32)))
+        @jax.jit
+        def step(st, z):
+            def body(_, carry):
+                st, acc = carry
+                st, out = costas_run(st, z, params)
+                return st, acc + jnp.sum(out.re[..., -1])
+            return jax.lax.fori_loop(0, inner, body,
+                                     (st, jnp.zeros((), jnp.float32)))
 
-    dt = _time_chained(step, state0, z, iters)
+        dt = _time_chained(step, state0, z, iters)
     sps = channels * nsym * inner * iters / dt
     return {"metric": f"costas_throughput_{impl}", "value": round(sps, 1),
             "unit": "symbols/s", "platform": platform,
             "channels": channels, "nsym": nsym}
+
+
+def fec_throughput(kind: str = "conv", packets: int | None = None,
+                   iters: int | None = None, inner: int | None = None) -> dict:
+    """Soft-decision FEC decoder rate in *information bits*/second at the
+    packet sizes the frame pipeline actually uses (one coded packet = one
+    256-symbol frame, cf. cli sweep sizing), packets batched on the leading
+    axis.  ``kind`` = "conv" (K=7 soft Viterbi) or "ldpc" (IRA min-sum).
+    The coded RX chain is demod + this: at 2400 baud a real-time channel
+    needs 2400 info-bit/s, so value/2400 ~ the number of coded channels one
+    chip can decode live."""
+    platform = jax.devices()[0].platform
+    packets = packets or (4096 if platform == "tpu" else 32)
+    iters = iters or (30 if platform == "tpu" else 2)
+    inner = inner or (4 if platform == "tpu" else 2)
+
+    key = jax.random.key(0)
+    if kind == "conv":
+        from qpsk_tpu.packet.fec import ConvCode, viterbi_decode
+        code = ConvCode()
+        nbits = 238                      # conv-coded 30-byte-frame payload
+        nllr = code.coded_bits(nbits)
+        llrs = jax.random.normal(key, (packets, nllr), jnp.float32)
+
+        def decode(l):
+            return viterbi_decode(code, l, nbits)
+    elif kind == "ldpc":
+        from qpsk_tpu.packet.ldpc import LdpcCode, ldpc_decode
+        code = LdpcCode(k=256)           # one 512-bit frame codeword
+        nbits = code.k
+        llrs = jax.random.normal(key, (packets, code.n), jnp.float32)
+
+        def decode(l):
+            return ldpc_decode(code, l)
+    else:
+        raise ValueError(f"unknown FEC kind {kind!r}")
+
+    @jax.jit
+    def step(acc, l):
+        def body(i, a):
+            # vary the input with the carry so the inner decodes can't be
+            # collapsed into one
+            bits = decode(l + a.astype(jnp.float32) * 1e-9)
+            return a + jnp.sum(bits)
+        acc = jax.lax.fori_loop(0, inner, body, acc)
+        return acc, acc
+
+    dt = _time_chained(step, jnp.zeros((), jnp.int32), llrs, iters)
+    bps = packets * nbits * inner * iters / dt
+    return {"metric": f"fec_throughput_{kind}", "value": round(bps, 1),
+            "unit": "info_bits/s", "platform": platform,
+            "packets": packets, "nbits": nbits}
 
 
 def single_stream_serial_throughput(frames: int | None = None,
@@ -287,7 +356,7 @@ def single_stream_serial_throughput(frames: int | None = None,
     cfg = ModemConfig()
     platform = jax.devices()[0].platform
     frames = frames or (64 if platform == "tpu" else 8)
-    iters = iters or (5 if platform == "tpu" else 2)
+    iters = iters or (15 if platform == "tpu" else 2)
     inner = inner or (4 if platform == "tpu" else 2)
     nsamples = frames * cfg.frame_size
 
@@ -325,8 +394,8 @@ def single_stream_blockparallel_throughput(frames: int | None = None,
     platform = jax.devices()[0].platform
     frames = frames or (512 if platform == "tpu" else 16)
     nblocks = nblocks or (128 if platform == "tpu" else 4)
-    iters = iters or (5 if platform == "tpu" else 2)
-    inner = inner or (4 if platform == "tpu" else 2)
+    iters = iters or (60 if platform == "tpu" else 2)
+    inner = inner or (8 if platform == "tpu" else 2)
     nsamples = frames * cfg.frame_size
 
     pcm = (jax.random.normal(jax.random.key(0), (frames, cfg.frame_size))

@@ -365,6 +365,8 @@ def main(argv=None) -> int:
                                  B.frontend_throughput("xla")],
             "costas": lambda: [B.costas_throughput("pallas"),
                                B.costas_throughput("scan")],
+            "fec": lambda: [B.fec_throughput("conv"),
+                            B.fec_throughput("ldpc")],
             "serial": B.single_stream_serial_throughput,
             "blockparallel": B.single_stream_blockparallel_throughput,
         }
@@ -381,8 +383,8 @@ def main(argv=None) -> int:
 
     be = sub.add_parser("bench", help="throughput benchmark")
     be.add_argument("--suite", type=str, default="rx",
-                    choices=["rx", "tx", "frontend", "costas", "serial",
-                             "blockparallel", "scaling", "all"],
+                    choices=["rx", "tx", "frontend", "costas", "fec",
+                             "serial", "blockparallel", "scaling", "all"],
                     help="which benchmark to run (all = every throughput "
                          "suite; scaling = weak-scaling efficiency sweep)")
     be.set_defaults(fn=_bench)

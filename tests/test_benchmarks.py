@@ -4,8 +4,9 @@ these validate the harness, not silicon)."""
 
 import numpy as np
 
-from qpsk_tpu.benchmarks import (costas_throughput, frontend_throughput,
-                                 rx_throughput, scaling_efficiency,
+from qpsk_tpu.benchmarks import (costas_throughput, fec_throughput,
+                                 frontend_throughput, rx_throughput,
+                                 scaling_efficiency,
                                  single_stream_blockparallel_throughput,
                                  single_stream_serial_throughput,
                                  tx_throughput)
@@ -48,6 +49,14 @@ def test_costas_throughput_records():
         assert r["metric"] == f"costas_throughput_{impl}"
         assert r["value"] > 0
         assert r["unit"] == "symbols/s"
+
+
+def test_fec_throughput_records():
+    for kind in ("conv", "ldpc"):
+        r = fec_throughput(kind=kind, packets=8, iters=1, inner=1)
+        assert r["metric"] == f"fec_throughput_{kind}"
+        assert r["value"] > 0
+        assert r["unit"] == "info_bits/s"
 
 
 def test_frontend_throughput_roofline():
