@@ -10,14 +10,19 @@ chosen for the TPU, not against it:
   lower-bidiagonal accumulator.  Encoding is therefore one dense GF(2)
   matmul plus a prefix-XOR (``cumsum mod 2``) — no generator-matrix
   inversion, both MXU/VPU-shaped.
-* **Decoder: normalized min-sum over a DENSE masked (m, n) message
-  array.**  A sparse gather/scatter BP is how GPUs do it; on TPU the
-  gathers would dominate (CLAUDE.md: lane-axis gathers are ~10x compute).
-  At modem-packet sizes (n ~ 512) the dense masked formulation — row
-  min/submin via masked reductions, sign products via negative counts,
-  column totals via plain sums — is pure vectorized VPU work that
-  batches over packets on the leading axes, and the 25-iteration loop is
-  a ``lax.scan`` with static shapes.
+* **Decoder: normalized min-sum over a COMPACT edge layout with one-hot
+  MXU contractions for gather/scatter.**  A sparse gather/scatter BP is
+  how GPUs do it; on TPU dynamic gathers would dominate (CLAUDE.md:
+  lane-axis gathers are ~10x compute).  But a dense masked (m, n) message
+  array is ~100x the code's actual edge count (H has ~5 nonzeros per row
+  of n = 2k columns) — measured HBM-bound at 1.9 Mb/s on v5e.  Instead,
+  messages live in a ``(..., dmax, m)`` block (dmax = max check degree,
+  the m checks on the VPU lanes); the variable-node scatter-add and the
+  check-node gather are each ONE matmul against a static 0/1 edge matrix
+  (``(dmax*m, n)``), i.e. MXU work with f32 accumulation, and the row
+  min/submin/sign-parity reductions run over the tiny dmax sublane axis.
+  The iteration loop is a ``lax.scan`` with static shapes; packets batch
+  on the leading axes.
 * **Decode-free frame sync**: the parity-check syndrome weight
   (``ldpc_syndrome_weight``) separates aligned from misaligned frames
   (~0.16*m vs ~0.5*m at operating SNR) with one int matmul, so
@@ -108,54 +113,87 @@ def ldpc_syndrome_weight(code: LdpcCode, bits: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum((c @ jnp.asarray(h.T, jnp.int32)) % 2, axis=-1)
 
 
+@functools.lru_cache(maxsize=None)
+def _edges(k: int, dv: int, seed: int):
+    """Compact edge tables for the min-sum decoder.
+
+    Returns (scat, valid, dmax): ``scat`` is the (dmax*m, n) 0/1 scatter
+    matrix — row ``s*m + i`` is the one-hot of the variable that check i's
+    slot s connects to (all-zero for padded slots past the check's degree);
+    ``valid`` (dmax, m) masks real slots.  ``scat`` does double duty:
+    ``e_flat @ scat`` is the variable-node scatter-add and
+    ``total @ scat.T`` the check-node gather — both MXU matmuls, no
+    dynamic indexing anywhere."""
+    _, h = _matrices(k, dv, seed)
+    m, n = h.shape
+    deg = h.sum(axis=1)
+    dmax = int(deg.max())
+    scat = np.zeros((dmax * m, n), np.float32)
+    valid = np.zeros((dmax, m), np.float32)
+    for i in range(m):
+        cs = np.flatnonzero(h[i])
+        for s, v in enumerate(cs):
+            scat[s * m + i, v] = 1.0
+            valid[s, i] = 1.0
+    return scat, valid, dmax
+
+
 def ldpc_decode(code: LdpcCode, llrs: jnp.ndarray,
                 iters: int | None = None) -> jnp.ndarray:
     """Normalized min-sum decode of (..., n) LLRs -> (..., k) hard bits.
 
-    Dense masked messages (..., m, n): check updates are row min/submin +
-    sign-parity over the masked row; variable updates are column sums.
-    Fixed iteration count (static shapes; a syndrome early-exit would put
-    data-dependent control flow inside jit for no throughput gain at
-    batch sizes where the slowest packet gates the step anyway)."""
-    _, h = _matrices(code.k, code.dv, code.seed)
-    mask = jnp.asarray(h, jnp.float32)                  # (m, n)
-    n = code.n
+    Messages ride a compact (..., dmax, m) block — the m checks on the
+    lanes, the <=dmax edge slots on the sublanes (see module docstring);
+    check updates are min/submin + sign-parity reductions over the dmax
+    axis, and the gather/scatter between checks and variables are one-hot
+    matmuls with f32 accumulation.  Fixed iteration count (static shapes;
+    a syndrome early-exit would put data-dependent control flow inside
+    jit for no throughput gain at batch sizes where the slowest packet
+    gates the step anyway)."""
+    scat_np, valid_np, dmax = _edges(code.k, code.dv, code.seed)
+    scat = jnp.asarray(scat_np)                         # (dmax*m, n)
+    valid = jnp.asarray(valid_np)                       # (dmax, m)
+    m, n = code.m, code.n
     its = code.iters if iters is None else iters
     llrs = jnp.asarray(llrs, jnp.float32)
     assert llrs.shape[-1] == n, (llrs.shape, n)
+    batch = llrs.shape[:-1]
+    alpha = jnp.float32(code.alpha)
+    slot = jnp.arange(dmax, dtype=jnp.int32)[:, None]   # (dmax, 1)
 
-    lane = jnp.arange(n, dtype=jnp.int32)
-    m0 = llrs[..., None, :] * mask                      # var->check init
+    def gather(total):
+        """(..., n) variable totals -> (..., dmax, m) per-edge values."""
+        flat = jnp.matmul(total, scat.T,
+                          preferred_element_type=jnp.float32)
+        return flat.reshape(batch + (dmax, m))
+
+    def check_update(mm):
+        """Check-node min-sum: (..., dmax, m) var->check messages ->
+        (..., dmax, m) check->var messages."""
+        amag = jnp.where(valid > 0, jnp.abs(mm), _BIG)
+        am = jnp.argmin(amag, axis=-2)                  # (..., m)
+        m1 = jnp.min(amag, axis=-2)
+        m2 = jnp.min(jnp.where(slot == am[..., None, :], _BIG, amag),
+                     axis=-2)
+        neg = jnp.where((mm < 0) & (valid > 0), 1.0, 0.0)
+        srow = 1.0 - 2.0 * (jnp.sum(neg, axis=-2) % 2.0)   # (..., m)
+        sj = jnp.where(mm < 0, -1.0, 1.0)
+        mag = jnp.where(slot == am[..., None, :], m2[..., None, :],
+                        m1[..., None, :])
+        return alpha * srow[..., None, :] * sj * mag * valid
+
+    mm = gather(llrs) * valid                           # var->check init
 
     def bp(mm, _):
-        amag = jnp.where(mask > 0, jnp.abs(mm), _BIG)
-        am = jnp.argmin(amag, axis=-1)                  # (..., m)
-        m1 = jnp.min(amag, axis=-1)
-        amag2 = jnp.where(lane == am[..., None], _BIG, amag)
-        m2 = jnp.min(amag2, axis=-1)
-        # sign product over the row, excluding self: row parity of
-        # negative messages times own sign (s in {+-1}: prod_others =
-        # prod_all * s)
-        neg = jnp.where((mm < 0) & (mask > 0), 1.0, 0.0)
-        row_par = jnp.sum(neg, axis=-1) % 2.0           # (..., m)
-        srow = 1.0 - 2.0 * row_par
-        sj = jnp.where(mm < 0, -1.0, 1.0)
-        mag = jnp.where(lane == am[..., None], m2[..., None], m1[..., None])
-        e = jnp.float32(code.alpha) * srow[..., None] * sj * mag * mask
-        total = llrs + jnp.sum(e, axis=-2)              # (..., n)
-        mm = (total[..., None, :] - e) * mask
+        e = check_update(mm)
+        total = llrs + jnp.matmul(e.reshape(batch + (dmax * m,)), scat,
+                                  preferred_element_type=jnp.float32)
+        mm = gather(total) - e                          # exclude own msg
         return mm, None
 
-    mm, _ = jax.lax.scan(bp, m0, None, length=its - 1)
+    mm, _ = jax.lax.scan(bp, mm, None, length=its - 1)
     # final half-iteration: posterior totals from the last messages
-    amag = jnp.where(mask > 0, jnp.abs(mm), _BIG)
-    am = jnp.argmin(amag, axis=-1)
-    m1 = jnp.min(amag, axis=-1)
-    m2 = jnp.min(jnp.where(lane == am[..., None], _BIG, amag), axis=-1)
-    neg = jnp.where((mm < 0) & (mask > 0), 1.0, 0.0)
-    srow = 1.0 - 2.0 * (jnp.sum(neg, axis=-1) % 2.0)
-    sj = jnp.where(mm < 0, -1.0, 1.0)
-    mag = jnp.where(lane == am[..., None], m2[..., None], m1[..., None])
-    e = jnp.float32(code.alpha) * srow[..., None] * sj * mag * mask
-    total = llrs + jnp.sum(e, axis=-2)
+    e = check_update(mm)
+    total = llrs + jnp.matmul(e.reshape(batch + (dmax * m,)), scat,
+                              preferred_element_type=jnp.float32)
     return (total[..., :code.k] < 0).astype(jnp.int32)
