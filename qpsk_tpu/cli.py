@@ -281,6 +281,69 @@ def cmd_rx(args) -> int:
     return 0
 
 
+def cmd_fdm(args) -> int:
+    """Multi-carrier loopback: C independent packet streams share one
+    wideband via the polyphase-DFT bank (qpsk_tpu/fdm.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qpsk_tpu import rx_init, tx_init
+    from qpsk_tpu.channel import awgn_pcm
+    from qpsk_tpu.fdm import FdmConfig, fdm_demux, fdm_mux
+    from qpsk_tpu.metrics import per
+    from qpsk_tpu.modem import rx_stream, tx_stream
+    from qpsk_tpu.packet import assemble_packet
+    from qpsk_tpu.sync import (default_max_lag, extract_packets_tracked,
+                               find_sync)
+
+    cfg = _cfg(args)
+    pcfg = _pcfg(args)
+    fcfg = FdmConfig(nslots=args.nslots, fs=cfg.fs)
+    c_n = fcfg.nchan
+    if args.frames < 8:
+        print("error: --frames must be >= 8", file=sys.stderr)
+        return 2
+    rng = np.random.default_rng(args.seed)
+    payload = jnp.asarray(rng.integers(
+        0, 2, (c_n, args.frames, 8 * pcfg.payload_bytes), dtype=np.int32))
+    _, pcm = tx_stream(cfg, tx_init(cfg, batch_shape=(c_n,)),
+                       assemble_packet(pcfg, payload),
+                       tx_offset_hz=args.offset_hz)
+    wide = fdm_mux(fcfg, pcm.reshape(c_n, -1))
+    if args.snr_db is not None:
+        sp = float(jnp.mean((wide.astype(jnp.float32) / cfg.pcm_scale) ** 2))
+        wide = awgn_pcm(jax.random.key(args.seed), wide,
+                        snr_db=args.snr_db, signal_power=sp,
+                        pcm_scale=cfg.pcm_scale)
+    back = fdm_demux(fcfg, wide)
+    npad = (-back.shape[-1]) % cfg.frame_size
+    back = jnp.concatenate(
+        [back, jnp.zeros((c_n, npad), back.dtype)], axis=-1)
+    _, out = rx_stream(cfg, rx_init(cfg, batch_shape=(c_n,)),
+                       back.reshape(c_n, -1, cfg.frame_size))
+    chans = []
+    skip = min(8, args.frames // 4) * pcfg.frame_bits
+    for c in range(c_n):
+        b = out.bits[c].ravel()
+        sync = find_sync(pcfg, b[skip:], max_lag=default_max_lag(pcfg),
+                         probe_frames=4)
+        navail = (b.size - skip - int(sync.bit_lag)) // pcfg.frame_bits
+        rx = extract_packets_tracked(pcfg, b[skip:], sync, navail)
+        chans.append({
+            "chan": c,
+            "carrier_hz": fcfg.slot_center_hz(c, cfg.center),
+            "sync_score": int(sync.score),
+            "packets": navail,
+            "per": round(float(per(rx.crc_ok)), 5),
+            "detected_offset_hz": round(
+                float(np.mean(np.asarray(out.freq_hz)[c, -10:])), 2),
+        })
+    print(json.dumps({"nslots": args.nslots, "nchan": c_n,
+                      "wide_fs": fcfg.wide_fs, "snr_db": args.snr_db,
+                      "channels": chans}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="qpsk_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -355,6 +418,15 @@ def main(argv=None) -> int:
     sw.add_argument("--snr-db", type=str, default="0,3,6,9,12",
                     help="comma-separated SNR points")
     sw.set_defaults(fn=_sweep)
+
+    fd = sub.add_parser("fdm", help="multi-carrier wideband loopback")
+    _add_common(fd)
+    fd.add_argument("--nslots", type=int, default=8,
+                    help="DFT bank size N; usable channels = N/2 - 1 "
+                         "(wideband rate = N * fs)")
+    fd.add_argument("--snr-db", type=float, default=None,
+                    help="wideband AWGN SNR; omit for noiseless")
+    fd.set_defaults(fn=cmd_fdm)
 
     def _bench(a) -> int:
         from qpsk_tpu import benchmarks as B
