@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -86,12 +87,11 @@ class FdmConfig:
         return (chan + 1) * self.fs + modem_center
 
 
-@dataclasses.dataclass(frozen=True)
-class FdmState:
-    """Carried streaming state: ``hist`` = (Q-1, N) rows of branch-FIR
-    input history (both directions); ``tail`` = the previous chunk's last
-    N-1 wideband samples (demux only — the phase-reversed blocks straddle
-    chunk boundaries by N-1 samples)."""
+class FdmState(NamedTuple):
+    """Carried streaming state (a pytree — jit/scan-friendly): ``hist`` =
+    (Q-1, N) rows of branch-FIR input history (both directions); ``tail``
+    = the previous chunk's last N-1 wideband samples (demux only — the
+    phase-reversed blocks straddle chunk boundaries by N-1 samples)."""
     hist: jnp.ndarray
     tail: jnp.ndarray
 
@@ -140,7 +140,7 @@ def _branch_fir(v: jnp.ndarray, taps: np.ndarray,
     for k in range(q):
         # u[m] += taps[k] * vv[m + (Q-1) - k]
         out = out + jnp.asarray(taps[k]) * vv[q - 1 - k: q - 1 - k + m]
-    return out, dataclasses.replace(state, hist=vv[-(q - 1):])
+    return out, state._replace(hist=vv[-(q - 1):])
 
 
 def fdm_mux_stream(fcfg: FdmConfig, pcm: jnp.ndarray, state: FdmState,
@@ -172,7 +172,7 @@ def fdm_demux_stream(fcfg: FdmConfig, wide: jnp.ndarray, state: FdmState):
     # samples in front (zeros at stream start), then phase-reverse the
     # lanes
     z = jnp.concatenate([state.tail, w])
-    state = dataclasses.replace(state, tail=z[-(n - 1):])
+    state = state._replace(tail=z[-(n - 1):])
     v = z[: mtot * n].reshape(mtot, n)[:, ::-1]          # (M, N)
     u, state = _branch_fir(v, h2, state)
     y = jnp.matmul(u, jnp.asarray(wc_ana),
@@ -182,6 +182,68 @@ def fdm_demux_stream(fcfg: FdmConfig, wide: jnp.ndarray, state: FdmState):
     y = y * jnp.float32(2.0 * fcfg.nchan)
     return (jnp.clip(jnp.round(y.T), -32768, 32767).astype(jnp.int16),
             state)
+
+
+class FdmReceiver:
+    """Push-mode wideband receiver: ``fdm_demux_stream`` feeding one
+    ``StreamDemodulator`` per subchannel.
+
+        rx = FdmReceiver(FdmConfig(nslots=8), ModemConfig(), pcfg)
+        for chunk in wideband_source:        # int16, any chunk size
+            for chan, pkts in enumerate(rx.push(chunk)):
+                ...
+
+    Wideband samples buffer to a fixed bucket (one static jit shape for
+    the demux matmuls — the same shape-bucketing discipline as
+    ``StreamDemodulator.push``); each bucket demuxes once and pushes every
+    subchannel's PCM into its demodulator.
+    """
+
+    def __init__(self, fcfg: FdmConfig, cfg, pcfg,
+                 bucket_blocks: int = 4096, **demod_kwargs):
+        import functools
+
+        import jax
+
+        from qpsk_tpu.runtime import StreamDemodulator
+
+        self.fcfg = fcfg
+        self._state = fdm_init(fcfg)
+        self.demods = [StreamDemodulator(cfg, pcfg, **demod_kwargs)
+                       for _ in range(fcfg.nchan)]
+        self._bucket = bucket_blocks * fcfg.nslots
+        self._buf = np.zeros(0, np.int16)
+        self._demux = jax.jit(functools.partial(fdm_demux_stream, fcfg))
+
+    def push(self, wide) -> list[list]:
+        """Feed wideband int16 PCM; returns per-channel packet lists."""
+        wide = np.asarray(wide, np.int16).ravel()
+        self._buf = np.concatenate([self._buf, wide])
+        out = [[] for _ in range(self.fcfg.nchan)]
+        while self._buf.size >= self._bucket:
+            pcm, self._state = self._demux(
+                jnp.asarray(self._buf[:self._bucket]), self._state)
+            self._buf = self._buf[self._bucket:]
+            pcm = np.asarray(pcm)
+            for c, d in enumerate(self.demods):
+                out[c].extend(d.push(pcm[c]))
+        return out
+
+    def flush(self) -> list[list]:
+        """Demux the buffered remainder (zero-padded to one bucket) and
+        flush every subchannel demodulator."""
+        out = [[] for _ in range(self.fcfg.nchan)]
+        if self._buf.size:
+            pad = np.zeros(self._bucket - self._buf.size, np.int16)
+            pcm, self._state = self._demux(
+                jnp.asarray(np.concatenate([self._buf, pad])), self._state)
+            self._buf = np.zeros(0, np.int16)
+            pcm = np.asarray(pcm)
+            for c, d in enumerate(self.demods):
+                out[c].extend(d.push(pcm[c]))
+        for c, d in enumerate(self.demods):
+            out[c].extend(d.flush())
+        return out
 
 
 def fdm_mux(fcfg: FdmConfig, pcm: jnp.ndarray) -> jnp.ndarray:

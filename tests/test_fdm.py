@@ -9,8 +9,9 @@ import numpy as np
 
 from qpsk_tpu import ModemConfig, rx_init, tx_init
 from qpsk_tpu.channel import awgn_pcm
-from qpsk_tpu.fdm import (FdmConfig, fdm_demux, fdm_demux_stream, fdm_init,
-                          fdm_mux, fdm_mux_stream)
+from qpsk_tpu.fdm import (FdmConfig, FdmReceiver, fdm_demux,
+                          fdm_demux_stream, fdm_init, fdm_mux,
+                          fdm_mux_stream)
 from qpsk_tpu.modem import rx_stream, tx_stream
 from qpsk_tpu.packet import PacketConfig, assemble_packet
 from qpsk_tpu.sync import default_max_lag, extract_packets_tracked, find_sync
@@ -68,6 +69,43 @@ def test_streaming_chunks_match_one_shot():
             fcfg, jnp.asarray(wide_one[i * step:(i + 1) * step]), st)
         outs.append(np.asarray(p))
     np.testing.assert_array_equal(np.concatenate(outs, axis=1), back_one)
+
+
+def test_fdm_receiver_streaming_push():
+    """The push-mode wideband receiver decodes every subchannel from
+    arbitrary-size chunks: TX -> mux -> AWGN -> FdmReceiver.push loop."""
+    cfg = ModemConfig()
+    pcfg = PacketConfig(payload_bytes=30)
+    fcfg = FdmConfig(nslots=8)
+    c_n = fcfg.nchan
+    nframes = 30
+    rng = np.random.default_rng(5)
+    payload = jnp.asarray(rng.integers(0, 2, (c_n, nframes, 240),
+                                       dtype=np.int32))
+    _, pcm = tx_stream(cfg, tx_init(cfg, batch_shape=(c_n,)),
+                       assemble_packet(pcfg, payload), tx_offset_hz=50.0)
+    wide = fdm_mux(fcfg, pcm.reshape(c_n, -1))
+    sp = float(jnp.mean((wide.astype(jnp.float32) / cfg.pcm_scale) ** 2))
+    wide = np.asarray(awgn_pcm(jax.random.key(2), wide, snr_db=18.0,
+                               signal_power=sp))
+    rx = FdmReceiver(fcfg, cfg, pcfg, bucket_blocks=1024)
+    got = [[] for _ in range(c_n)]
+    pos = 0
+    for sz in rng.integers(1000, 30000, 200):
+        if pos >= wide.size:
+            break
+        for c, pkts in enumerate(rx.push(wide[pos:pos + int(sz)])):
+            got[c].extend(pkts)
+        pos += int(sz)
+    for c, pkts in enumerate(rx.flush()):
+        got[c].extend(pkts)
+    for c in range(c_n):
+        ok = [p for p in got[c] if p.crc_ok]
+        assert len(ok) >= nframes - 10, (c, len(got[c]), len(ok))
+        tx_set = {np.asarray(payload)[c, j].tobytes()
+                  for j in range(nframes)}
+        assert all(np.asarray(p.payload).astype(np.int32).tobytes()
+                   in tx_set for p in ok), c
 
 
 def test_fdm_modem_loopback_all_channels_bit_exact():
