@@ -20,7 +20,7 @@ scratch halo + modulated taps, ops/pallas/frontend_kernel.py) vs 9.2 GS/s
 for the staged XLA chain; the fused Costas kernel 16.8 Gsymbols/s at 2048
 channels x 2048 symbols (3.5x the lax.scan lowering).  The parts compose:
 per-sample, 1/43.1e9 (front-end) + 1/(4*16.8e9) (Costas at 4 samp/sym)
-predicts 25.8 GS/s — the measured 24.0 is that minus slicer/glue.  Two
+predicts 26.3 GS/s — the measured 24.0 is that minus slicer/glue.  Two
 things matter equally: the fused rx_stream path (one Pallas front-end
 kernel + a single Pallas Costas kernel with the channel batch on the
 lanes), and amortizing the relayed backend's ~1.8 ms per-launch cost
@@ -309,8 +309,8 @@ def fec_throughput(kind: str = "conv", packets: int | None = None,
     if kind == "conv":
         from qpsk_tpu.packet.fec import ConvCode, viterbi_decode
         code = ConvCode()
-        nbits = 238                      # conv-coded 30-byte-frame payload
-        nllr = code.coded_bits(nbits)
+        nbits = 256          # the pipeline's decode: payload+CRC of a
+        nllr = code.coded_bits(nbits)   # 30-byte packet (frame.py)
         llrs = jax.random.normal(key, (packets, nllr), jnp.float32)
 
         def decode(l):

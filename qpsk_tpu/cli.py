@@ -292,9 +292,11 @@ def cmd_fdm(args) -> int:
     from qpsk_tpu.fdm import FdmConfig, fdm_demux, fdm_mux
     from qpsk_tpu.metrics import per
     from qpsk_tpu.modem import rx_stream, tx_stream
+    from qpsk_tpu.ops.cplx import CF32
+    from qpsk_tpu.ops.modmap import demod_soft
     from qpsk_tpu.packet import assemble_packet
-    from qpsk_tpu.sync import (default_max_lag, extract_packets_tracked,
-                               find_sync)
+    from qpsk_tpu.sync import (default_max_lag, extract_packets_soft_tracked,
+                               extract_packets_tracked, find_sync)
 
     cfg = _cfg(args)
     pcfg = _pcfg(args)
@@ -323,12 +325,21 @@ def cmd_fdm(args) -> int:
                        back.reshape(c_n, -1, cfg.frame_size))
     chans = []
     skip = min(8, args.frames // 4) * pcfg.frame_bits
+    use_soft = args.fec and not cfg.differential
     for c in range(c_n):
         b = out.bits[c].ravel()
         sync = find_sync(pcfg, b[skip:], max_lag=default_max_lag(pcfg),
                          probe_frames=4)
         navail = (b.size - skip - int(sync.bit_lag)) // pcfg.frame_bits
-        rx = extract_packets_tracked(pcfg, b[skip:], sync, navail)
+        if use_soft:
+            # soft-decision extraction, like loopback (hard-input decode
+            # would forfeit ~2 dB of the coded gain)
+            llrs = demod_soft(CF32(out.symbols.re[c].reshape(-1),
+                                   out.symbols.im[c].reshape(-1)))
+            rx = extract_packets_soft_tracked(pcfg, llrs[skip:], sync,
+                                              navail)
+        else:
+            rx = extract_packets_tracked(pcfg, b[skip:], sync, navail)
         chans.append({
             "chan": c,
             "carrier_hz": fcfg.slot_center_hz(c, cfg.center),

@@ -143,8 +143,7 @@ def _branch_fir(v: jnp.ndarray, taps: np.ndarray,
     return out, state._replace(hist=vv[-(q - 1):])
 
 
-def fdm_mux_stream(fcfg: FdmConfig, pcm: jnp.ndarray, state: FdmState,
-                   pcm_scale: float = 32767.0):
+def fdm_mux_stream(fcfg: FdmConfig, pcm: jnp.ndarray, state: FdmState):
     """Multiplex (nchan, M) int16 subchannel PCM into (M * nslots,) int16
     wideband PCM.  Chunked calls chain with one-shot via ``state``."""
     g2, _, wc_syn, _ = _bank(fcfg.nslots, fcfg.taps_per_branch, fcfg.beta)
@@ -201,8 +200,6 @@ class FdmReceiver:
 
     def __init__(self, fcfg: FdmConfig, cfg, pcfg,
                  bucket_blocks: int = 4096, **demod_kwargs):
-        import functools
-
         import jax
 
         from qpsk_tpu.runtime import StreamDemodulator
