@@ -46,6 +46,10 @@ def _add_common(p):
                    help="rate-1/2 FEC: 'conv' = K=7 + soft Viterbi (the "
                         "default when the flag is given bare), 'ldpc' = "
                         "IRA LDPC + min-sum")
+    p.add_argument("--payload-bytes", type=int, default=30,
+                   help="packet payload size (default 30: one uncoded "
+                        "packet fills one 256-symbol frame with its "
+                        "CRC16; larger packets span multiple frames)")
 
 
 def _cfg(args):
@@ -61,7 +65,8 @@ def _cfg(args):
 
 def _pcfg(args):
     from qpsk_tpu.packet import PacketConfig
-    return PacketConfig(payload_bytes=30, fec=getattr(args, "fec", False))
+    return PacketConfig(payload_bytes=getattr(args, "payload_bytes", 30),
+                        fec=getattr(args, "fec", False))
 
 
 def cmd_loopback(args) -> int:
