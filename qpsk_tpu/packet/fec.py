@@ -108,10 +108,20 @@ def conv_encode(code: ConvCode, bits: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(outs, axis=-1).reshape(b.shape[:-1] + (code.rate_den * n,))
 
 
-def viterbi_decode(code: ConvCode, llrs: jnp.ndarray,
-                   nbits: int) -> jnp.ndarray:
+def viterbi_decode(code: ConvCode, llrs: jnp.ndarray, nbits: int,
+                   impl: str = "auto") -> jnp.ndarray:
     """Soft-decision Viterbi decode of (..., rate_den*(nbits+K-1)) LLRs
-    (positive = bit 0) back to (..., nbits) hard bits."""
+    (positive = bit 0) back to (..., nbits) hard bits.
+
+    ``impl``: "auto" uses the fused Pallas kernel pair on TPU
+    (ops/pallas/viterbi_kernel.py — path metrics live in VMEM, 2x the
+    scan on v5e, decode bit-identical incl. hard-LLR ties,
+    tools/check_viterbi_tpu.py is the hardware gate); "scan" forces the
+    lax.scan lowering (every other backend, and the parity oracle)."""
+    if (impl == "auto" and jax.default_backend() == "tpu"
+            and 8 % code.rate_den == 0):
+        from qpsk_tpu.ops.pallas.viterbi_kernel import viterbi_decode_pallas
+        return viterbi_decode_pallas(code, llrs, nbits)
     k, s_count, rd = code.constraint, code.nstates, code.rate_den
     nsteps = nbits + k - 1
     assert llrs.shape[-1] == rd * nsteps, (llrs.shape, rd * nsteps)
