@@ -15,7 +15,8 @@ from qpsk_tpu.metrics import evm, per
 from qpsk_tpu.ops.acquire import hz_to_costas_freq
 from qpsk_tpu.ops.cplx import CF32
 from qpsk_tpu.packet import PacketConfig, assemble_packet
-from qpsk_tpu.sync import extract_packets_tracked, find_sync
+from qpsk_tpu.sync import (default_max_lag,
+                           extract_packets_tracked, find_sync)
 
 # --- configuration: the reference design point (2400 baud @ 9600 S/s) ----
 cfg = ModemConfig()
@@ -46,7 +47,8 @@ print(f"EVM (post-transient): {float(jnp.mean(m.evm_rms)) * 100:.1f}%")
 # --- packets: resolve phase ambiguity + alignment by CRC ------------------
 bits = out.bits.ravel()
 skip = 8 * pcfg.frame_bits
-sync = find_sync(pcfg, bits[skip:], max_lag=600, probe_frames=4)
+sync = find_sync(pcfg, bits[skip:], max_lag=default_max_lag(pcfg),
+                 probe_frames=4)
 navail = (bits.size - skip - int(sync.bit_lag)) // pcfg.frame_bits
 rx = extract_packets_tracked(pcfg, bits[skip:], sync, navail)
 print(f"sync: rotation {int(sync.rotation) * 90}°, lag {int(sync.bit_lag)} "
@@ -75,8 +77,37 @@ bits_c = out_c.bits.ravel()
 llrs_c = demod_soft(CF32(out_c.symbols.re.reshape(-1),
                          out_c.symbols.im.reshape(-1)))
 skip_c = 10 * 2 * cfg.symbols_per_frame
-sync_c = find_sync(pcfg_c, bits_c[skip_c:], max_lag=600, probe_frames=4)
+sync_c = find_sync(pcfg_c, bits_c[skip_c:],
+                   max_lag=default_max_lag(pcfg_c), probe_frames=4)
 nav_c = (bits_c.size - skip_c - int(sync_c.bit_lag)) // pcfg_c.frame_bits
 rx_c = extract_packets_soft_tracked(pcfg_c, llrs_c[skip_c:], sync_c, nav_c)
 print(f"coded @ 6 dB: {int(np.asarray(rx_c.crc_ok).sum())}/{nav_c} CRC-pass "
       f"(PER {float(per(rx_c.crc_ok)):.3f}) — soft Viterbi, slip-tracked")
+
+# --- FDM: three independent channels in one wideband stream ---------------
+# A critically-sampled polyphase-DFT bank puts N/2-1 unmodified modem
+# channels on slots of an N*fs wideband; the batched RX decodes them all
+# as its ordinary channel axis.
+from qpsk_tpu.fdm import FdmConfig, fdm_demux, fdm_mux
+
+fcfg = FdmConfig(nslots=8)
+pay3 = jnp.asarray(rng.integers(0, 2, (fcfg.nchan, 40, 240), dtype=np.int32))
+_, pcm3 = tx_stream(cfg, tx_init(cfg, batch_shape=(fcfg.nchan,)),
+                    assemble_packet(pcfg, pay3), tx_offset_hz=50.0)
+wide = fdm_mux(fcfg, pcm3.reshape(fcfg.nchan, -1))
+spw = float(jnp.mean((wide.astype(jnp.float32) / cfg.pcm_scale) ** 2))
+wide = awgn_pcm(jax.random.key(3), wide, snr_db=18.0, signal_power=spw)
+back = fdm_demux(fcfg, wide)
+npad3 = (-back.shape[-1]) % cfg.frame_size
+back = jnp.concatenate([back, jnp.zeros((fcfg.nchan, npad3), back.dtype)],
+                       axis=-1)
+_, out3 = rx_stream(cfg, rx_init(cfg, batch_shape=(fcfg.nchan,)),
+                    back.reshape(fcfg.nchan, -1, cfg.frame_size))
+for c in range(fcfg.nchan):
+    b3 = out3.bits[c].ravel()
+    s3 = find_sync(pcfg, b3[skip:], max_lag=default_max_lag(pcfg),
+                   probe_frames=4)
+    n3 = (b3.size - skip - int(s3.bit_lag)) // pcfg.frame_bits
+    r3 = extract_packets_tracked(pcfg, b3[skip:], s3, n3)
+    print(f"FDM chan {c} @ {fcfg.slot_center_hz(c, cfg.center):7.0f} Hz: "
+          f"{int(np.asarray(r3.crc_ok).sum())}/{n3} CRC-pass")
