@@ -1,0 +1,151 @@
+"""Fused LDPC min-sum kernel (Pallas / Mosaic TPU).
+
+The XLA lowering of ``packet.ldpc.ldpc_decode`` runs its 25 iterations
+over HBM-resident message planes: per iteration the (batch, dmax, m)
+messages make several elementwise round trips (~1.8 ms of the measured
+3.1 ms per 4096-packet decode on v5e; the two one-hot edge matmuls
+account for the rest).  This kernel runs the ENTIRE iteration loop in one
+launch per batch tile: the dmax message planes live in VMEM scratch, the
+static (dmax*m, n) edge matrix is a resident const input serving both the
+variable-node scatter-add and the check-node gather (contraction on
+either axis via ``dot_general`` — no transpose copy), and HBM sees only
+the LLR input and the decoded bits.
+
+Layout: packets on the sublanes (BT rows per tile), the m checks / n
+variables on the lanes; the <=dmax edge slots are a *Python-unrolled*
+loop over separate (BT, m) planes, so the min/submin/first-wins/
+sign-parity check update needs no argmin lowering and no 3-D arrays.
+
+Numerics: matmul operands truncate to bf16 on the MXU exactly as the XLA
+fast path does (one pass, f32 accumulation), so the two lowerings agree
+to the same tolerance class; interpret mode (exact f32) matches the XLA
+CPU decode bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30
+
+
+def _kernel(scat_ref, valid_ref, ll_ref, bits_ref, *mm_s, dmax: int,
+            m: int, n: int, iters: int, alpha: float):
+    bt = ll_ref.shape[0]
+    llr = ll_ref[:, :]                                   # (BT, n)
+    a = jnp.float32(alpha)
+
+    def gather_slot(total, s):
+        # mm_s = total @ scat[s]^T: contract the n axis of both
+        return jax.lax.dot_general(
+            total, scat_ref[pl.ds(s * m, m), :],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (BT, m)
+
+    def check_update(mms):
+        """Python-unrolled min-sum check update over the dmax slot planes:
+        running min/submin with first-wins ties, sign product, alpha
+        normalization.  Returns the dmax outgoing-message planes."""
+        m1 = jnp.full((bt, m), _BIG, jnp.float32)
+        m2 = jnp.full((bt, m), _BIG, jnp.float32)
+        am = jnp.zeros((bt, m), jnp.float32)
+        srow = jnp.ones((bt, m), jnp.float32)
+        amags, sjs = [], []
+        for s in range(dmax):
+            v = valid_ref[s:s + 1, :]                    # (1, m)
+            amag = jnp.where(v > 0, jnp.abs(mms[s]), _BIG)
+            sj = jnp.where(mms[s] < 0, -1.0, 1.0)
+            srow = srow * sj                             # invalid: mm=0 -> +1
+            better = amag < m1
+            m2 = jnp.where(better, m1, jnp.minimum(m2, amag))
+            am = jnp.where(better, float(s), am)
+            m1 = jnp.where(better, amag, m1)
+            amags.append(amag)
+            sjs.append(sj)
+        es = []
+        for s in range(dmax):
+            v = valid_ref[s:s + 1, :]
+            mag = jnp.where(am == float(s), m2, m1)
+            es.append(jnp.where(v > 0, a * srow * sjs[s] * mag, 0.0))
+        return es
+
+    def totals(es):
+        t = llr
+        for s in range(dmax):
+            # scatter-add: e_s @ scat[s] over the m axis
+            t = t + jax.lax.dot_general(
+                es[s], scat_ref[pl.ds(s * m, m), :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (BT, n)
+        return t
+
+    # var->check init: the per-edge LLR
+    for s in range(dmax):
+        mm_s[s][:, :] = gather_slot(llr, s) * valid_ref[s:s + 1, :]
+
+    def bp(_, carry):
+        es = check_update([mm_s[s][:, :] for s in range(dmax)])
+        t = totals(es)
+        for s in range(dmax):
+            mm_s[s][:, :] = gather_slot(t, s) - es[s]
+        return carry
+
+    jax.lax.fori_loop(0, iters - 1, bp, 0, unroll=1)
+    t = totals(check_update([mm_s[s][:, :] for s in range(dmax)]))
+    bits_ref[:, :] = (t[:, :n // 2] < 0).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("dmax", "m", "n", "iters",
+                                             "alpha", "interpret"))
+def _ldpc_2d(llrs, scat, valid, dmax: int, m: int, n: int, iters: int,
+             alpha: float, interpret: bool = False):
+    b = llrs.shape[0]
+    bt = 8
+    while bt * 2 <= min(b, 256) and b % (bt * 2) == 0:
+        bt *= 2
+    grid = (b // bt,)
+    return pl.pallas_call(
+        functools.partial(_kernel, dmax=dmax, m=m, n=n, iters=iters,
+                          alpha=alpha),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((dmax * m, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dmax, m), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, n // 2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n // 2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bt, m), jnp.float32)] * dmax,
+        interpret=interpret,
+    )(scat, valid, llrs)
+
+
+def ldpc_decode_pallas(code, llrs: jnp.ndarray, iters: int | None = None,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for ``packet.ldpc.ldpc_decode`` on TPU: (..., n) LLRs ->
+    (..., k) hard bits.  Any batch shape; batch pads to the tile grid."""
+    from qpsk_tpu.packet.ldpc import _edges
+
+    scat_np, valid_np, dmax = _edges(code.k, code.dv, code.seed)
+    m, n = code.m, code.n
+    its = code.iters if iters is None else iters
+    batch = llrs.shape[:-1]
+    bsz = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    flat = llrs.astype(jnp.float32).reshape(bsz, n)
+    bpad = (-bsz) % 8
+    if bpad:
+        flat = jnp.concatenate([flat, jnp.zeros((bpad, n), jnp.float32)])
+    bits = _ldpc_2d(flat, jnp.asarray(scat_np), jnp.asarray(valid_np),
+                    dmax=dmax, m=m, n=n, iters=its, alpha=float(code.alpha),
+                    interpret=interpret)
+    return bits[:bsz].astype(jnp.int32).reshape(batch + (code.k,))
