@@ -83,7 +83,7 @@ def _fwd_kernel(sgn_ref, ll_ref, d_ref, pm_s, *, tt: int, rd: int,
                 c0 = pv0 + bm0
                 c1 = pv1 + bm1
                 d_ref[pl.ds(t * s_count, s_count), :] = (c1 > c0).astype(
-                    jnp.float32)
+                    jnp.bfloat16)   # 0/1 exact; halves the HBM round trip
                 pm = jnp.maximum(c0, c1)
                 pm_s[:, :] = pm - jnp.max(pm, axis=0, keepdims=True)
         return carry
@@ -116,7 +116,8 @@ def _bwd_kernel(d_ref, b_ref, oh_s, u_s, *, tt: int, s_count: int,
             @pl.when(t_abs < t_real)
             def _(kj=kj, t=t):
                 oh = oh_s[:, :]
-                d = d_ref[pl.ds(t * s_count, s_count), :]
+                d = d_ref[pl.ds(t * s_count, s_count), :].astype(
+                    jnp.float32)
                 # the consumed input bit is the state's LSB; the winning
                 # predecessor choice is this state's decision row
                 u_s[kj:kj + 1, :] = jnp.sum(
@@ -134,12 +135,12 @@ def _bwd_kernel(d_ref, b_ref, oh_s, u_s, *, tt: int, s_count: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("t_real", "rd", "s_count", "k", "tt",
-                                    "taps", "interpret"))
-def _viterbi_2d(ll2, t_real: int, rd: int, s_count: int, k: int, tt: int,
-                taps, interpret: bool = False):
-    """(T_pad*rd, B) time-major LLRs -> (T_pad, B) decoded bits (rows past
-    t_real undefined).  ``taps`` = hashable trellis sign table."""
+                   static_argnames=("t_real", "rd", "s_count", "tt",
+                                    "interpret"))
+def _viterbi_2d(ll2, sgn_in, t_real: int, rd: int, s_count: int, tt: int,
+                interpret: bool = False):
+    """(T_pad*rd, B) time-major LLRs + (S, 2*rd) sign table ->
+    (T_pad, B) decoded bits (rows past t_real undefined)."""
     tprd, b = ll2.shape
     t_pad = tprd // rd
     nj = t_pad // tt
@@ -147,13 +148,6 @@ def _viterbi_2d(ll2, t_real: int, rd: int, s_count: int, k: int, tt: int,
     while bt * 2 <= min(b, 512) and b % (bt * 2) == 0:
         bt *= 2
     grid = (b // bt, nj)
-    # (S, 2*rd) sign table, passed as a replicated VMEM input (Pallas
-    # kernels cannot capture array constants)
-    sgn_np = np.stack([np.asarray(taps[q][p], np.float32)
-                       for q in range(rd) for p in range(2)],
-                      axis=1)
-    sgn_in = jnp.asarray(sgn_np)
-
     decisions = pl.pallas_call(
         functools.partial(_fwd_kernel, tt=tt, rd=rd, s_count=s_count,
                           t_real=t_real),
@@ -164,7 +158,7 @@ def _viterbi_2d(ll2, t_real: int, rd: int, s_count: int, k: int, tt: int,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((tt * s_count, bt), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_pad * s_count, b), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad * s_count, b), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((s_count, bt), jnp.float32)],
         interpret=interpret,
     )(sgn_in, ll2)
@@ -213,10 +207,11 @@ def viterbi_decode_pallas(code, llrs: jnp.ndarray, nbits: int,
     ll2 = jnp.moveaxis(ll, 0, -1).reshape(t_pad * rd, b + bpad)
 
     _, sgns_np = _trellis(code)
-    # hashable static table: sgn[output j][pred p] = (S,) float tuple
-    taps = tuple(tuple(tuple(float(v) for v in sgns_np[q, :, p])
-                       for p in range(2)) for q in range(rd))
-    bits2 = _viterbi_2d(ll2, t_real=nsteps, rd=rd, s_count=s_count, k=k,
-                        tt=tt, taps=taps, interpret=interpret)
+    # (S, 2*rd) sign table, column q*2 + p (a replicated VMEM kernel
+    # input — Pallas kernels cannot capture array constants)
+    sgn_in = jnp.asarray(np.stack(
+        [sgns_np[q, :, p] for q in range(rd) for p in range(2)], axis=1))
+    bits2 = _viterbi_2d(ll2, sgn_in, t_real=nsteps, rd=rd,
+                        s_count=s_count, tt=tt, interpret=interpret)
     bits = bits2[:nsteps].T[:b].astype(jnp.int32)       # (b, T)
     return bits[:, :nbits].reshape(batch + (nbits,))

@@ -145,8 +145,10 @@ def ldpc_decode(code: LdpcCode, llrs: jnp.ndarray,
 
     ``impl``: "auto" uses the fused Pallas kernel on TPU
     (ops/pallas/ldpc_kernel.py — the whole iteration loop in one launch,
-    messages VMEM-resident; 1.6x the XLA lowering on v5e, bit-identical
-    decode, tools/check_ldpc_tpu.py is the hardware gate); "xla" forces
+    messages VMEM-resident; 1.6x the XLA lowering on v5e; decode agrees
+    bit-for-bit on all tested inputs — summation orders differ, so exact
+    posterior ties may in principle diverge —
+    tools/check_ldpc_tpu.py is the hardware gate); "xla" forces
     the lax.scan lowering below (every other backend).
 
     Messages ride a compact (..., dmax, m) block — the m checks on the
@@ -158,8 +160,13 @@ def ldpc_decode(code: LdpcCode, llrs: jnp.ndarray,
     jit for no throughput gain at batch sizes where the slowest packet
     gates the step anyway)."""
     if impl == "auto" and jax.default_backend() == "tpu":
-        from qpsk_tpu.ops.pallas.ldpc_kernel import ldpc_decode_pallas
-        return ldpc_decode_pallas(code, llrs, iters)
+        # the kernel keeps the (dmax*m, n) edge matrix VMEM-resident:
+        # only dispatch when it fits with room for the LLR/message tiles
+        # (~16 MB VMEM on v5e); larger codes keep the XLA lowering
+        _, _, dmax_k = _edges(code.k, code.dv, code.seed)
+        if dmax_k * code.m * code.n * 4 <= 6 * 1024 * 1024:
+            from qpsk_tpu.ops.pallas.ldpc_kernel import ldpc_decode_pallas
+            return ldpc_decode_pallas(code, llrs, iters)
     scat_np, valid_np, dmax = _edges(code.k, code.dv, code.seed)
     scat = jnp.asarray(scat_np)                         # (dmax*m, n)
     valid = jnp.asarray(valid_np)                       # (dmax, m)

@@ -22,7 +22,9 @@ def test_matches_xla_across_sizes():
         _, llrs = _noisy(rng, code, batch, 0.7)
         a = np.asarray(ldpc_decode_pallas(code, llrs, interpret=True))
         b = np.asarray(ldpc_decode(code, llrs, impl="xla"))
-        np.testing.assert_array_equal(a, b)
+        # the kernel sums variable totals slot-by-slot, XLA in one matmul:
+        # different f32 orders, so allow (unobserved so far) tie flips
+        assert (a == b).mean() >= 0.999, (k, (a == b).mean())
 
 
 def test_decodes_through_noise():
@@ -39,5 +41,5 @@ def test_iters_override_and_unpadded_batch():
     _, llrs = _noisy(rng, code, (9,), 0.5)
     a = np.asarray(ldpc_decode_pallas(code, llrs, iters=8, interpret=True))
     b = np.asarray(ldpc_decode(code, llrs, iters=8, impl="xla"))
-    np.testing.assert_array_equal(a, b)
+    assert (a == b).mean() >= 0.999
     assert a.shape == (9, 128)

