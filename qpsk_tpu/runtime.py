@@ -72,6 +72,50 @@ class LinkCounters:
     synced: bool = False
 
 
+class StreamModulator:
+    """Push-mode packet transmitter — the TX twin of ``StreamDemodulator``:
+
+        mod = StreamModulator(ModemConfig(), PacketConfig(payload_bytes=30))
+        for payloads in source:            # (npkts, 8*payload_bytes) bits
+            audio_sink(mod.push(payloads)) # int16 PCM, filter-continuous
+
+    The TX filter tail and NCO phase carry across calls (the cross-frame
+    delay-line behavior of qpsk.c:36-37): chunked pushes match one
+    ``tx_stream`` over the concatenated packets to within 1 int16 LSB
+    (the carried unit phasor re-associates one extra complex multiply per
+    call boundary; measured <0.1% of samples off by 1).  Each packet
+    modulates at ONE static jit shape regardless of push sizes."""
+
+    def __init__(self, cfg: ModemConfig, pcfg: PacketConfig,
+                 tx_offset_hz: float = 0.0):
+        from qpsk_tpu.modem import tx_stream
+        from qpsk_tpu.state import tx_init
+
+        self.cfg = cfg
+        self.pcfg = pcfg
+        self._state = tx_init(cfg)
+        self._tx = jax.jit(functools.partial(
+            tx_stream, cfg, tx_offset_hz=tx_offset_hz))
+
+    def push(self, payload_bits) -> np.ndarray:
+        """Modulate (npkts, 8*payload_bytes) (or a single flat packet of)
+        payload bits; returns the int16 passband PCM."""
+        from qpsk_tpu.packet.frame import assemble_packet
+
+        p = np.asarray(payload_bits, np.int32)
+        if p.ndim == 1:
+            p = p[None, :]
+        assert p.shape[-1] == 8 * self.pcfg.payload_bytes, p.shape
+        chan = np.asarray(assemble_packet(self.pcfg, jnp.asarray(p)))
+        out = []
+        for i in range(chan.shape[0]):      # one static (1, frame_bits)
+            self._state, pcm = self._tx(self._state,
+                                         jnp.asarray(chan[i:i + 1]))
+            out.append(np.asarray(pcm).ravel())
+        return (np.concatenate(out) if out
+                else np.zeros(0, np.int16))
+
+
 class StreamDemodulator:
     """Push-mode QPSK packet receiver (see module docstring)."""
 

@@ -109,3 +109,42 @@ def test_stream_demodulator_fec_low_snr():
     assert len(ok) / len(got) > 0.8
     wanted = _payload_set(payload)
     assert all(p.payload.astype(np.uint8).tobytes() in wanted for p in ok)
+
+
+def test_stream_modulator_chunks_and_circle():
+    """StreamModulator: chunked pushes match one-shot tx_stream within
+    1 int16 LSB (carried-phasor reassociation at call boundaries), and
+    the full TX->AWGN->StreamDemodulator circle decodes bit-exact."""
+    import jax
+
+    from qpsk_tpu.channel import awgn_pcm
+    from qpsk_tpu.modem import tx_stream
+    from qpsk_tpu.packet import assemble_packet
+    from qpsk_tpu.runtime import StreamModulator
+    from qpsk_tpu.state import tx_init
+
+    cfg = ModemConfig()
+    pcfg = PacketConfig(payload_bytes=30)
+    rng = np.random.default_rng(0)
+    payload = rng.integers(0, 2, (30, 240), dtype=np.int64)
+
+    mod = StreamModulator(cfg, pcfg, tx_offset_hz=50.0)
+    pcm = np.concatenate([mod.push(payload[:4]), mod.push(payload[4:5]),
+                          mod.push(payload[5:])])
+    _, one = tx_stream(cfg, tx_init(cfg),
+                       assemble_packet(pcfg, jnp.asarray(payload)),
+                       tx_offset_hz=50.0)
+    one = np.asarray(one).ravel()
+    d = np.abs(pcm.astype(np.int32) - one.astype(np.int32))
+    assert d.max() <= 1 and (d != 0).mean() < 0.01
+
+    sp = float(np.mean((pcm / cfg.pcm_scale) ** 2))
+    noisy = np.asarray(awgn_pcm(jax.random.key(1), jnp.asarray(pcm),
+                                snr_db=12.0, signal_power=sp))
+    dem = StreamDemodulator(cfg, pcfg)
+    pkts = dem.push(noisy) + dem.flush()
+    ok = [p for p in pkts if p.crc_ok]
+    tx_set = {payload[j].astype(np.int32).tobytes() for j in range(30)}
+    assert len(ok) >= 19
+    assert all(np.asarray(p.payload).astype(np.int32).tobytes() in tx_set
+               for p in ok)
