@@ -10,7 +10,7 @@ acquisition), scaled over device meshes with pjit/shard_map.
 from qpsk_tpu.config import ModemConfig, config_1200, config_2400, config_parity
 from qpsk_tpu.modem import (rx_acquire_hz, rx_frame, rx_stream,
                             tx_bits_frame, tx_frame, tx_stream)
-from qpsk_tpu.runtime import StreamDemodulator
+from qpsk_tpu.runtime import StreamDemodulator, StreamModulator
 from qpsk_tpu.state import RxState, TxState, rx_init, tx_init
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -119,10 +119,10 @@ def viterbi_decode(code: ConvCode, llrs: jnp.ndarray, nbits: int,
     tools/check_viterbi_tpu.py is the hardware gate); "scan" forces the
     lax.scan lowering (every other backend, and the parity oracle)."""
     if (impl == "auto" and jax.default_backend() == "tpu"
-            and 8 % code.rate_den == 0 and code.nstates % 8 == 0):
-        # nstates % 8: the kernel's dynamic sublane slices step by
-        # s_count rows and Mosaic requires 8-aligned offsets; tiny codes
-        # (constraint <= 3) keep the scan
+            and 8 % code.rate_den == 0 and code.nstates % 16 == 0):
+        # nstates % 16: the kernel's dynamic sublane slices step by
+        # s_count rows, and the bf16 decision planes pack (16, 128) vregs
+        # so offsets must be 16-aligned; tiny codes keep the scan
         from qpsk_tpu.ops.pallas.viterbi_kernel import viterbi_decode_pallas
         return viterbi_decode_pallas(code, llrs, nbits)
     k, s_count, rd = code.constraint, code.nstates, code.rate_den

@@ -45,13 +45,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from qpsk_tpu.config import ModemConfig
-from qpsk_tpu.modem import rx_acquire_hz, rx_stream
+from qpsk_tpu.modem import rx_acquire_hz, rx_stream, tx_stream
 from qpsk_tpu.ops.acquire import hz_to_costas_freq
 from qpsk_tpu.ops.cplx import CF32
 from qpsk_tpu.ops.modmap import demod_soft
-from qpsk_tpu.packet.frame import (PacketConfig, disassemble_packet,
+from qpsk_tpu.packet.frame import (PacketConfig, assemble_packet,
+                                   disassemble_packet,
                                    disassemble_packet_soft)
-from qpsk_tpu.state import rx_init
+from qpsk_tpu.state import rx_init, tx_init
 from qpsk_tpu.sync import (SyncResult, default_max_lag, find_sync,
                            rotate_dibits, rotate_soft, walk_step)
 
@@ -88,9 +89,6 @@ class StreamModulator:
 
     def __init__(self, cfg: ModemConfig, pcfg: PacketConfig,
                  tx_offset_hz: float = 0.0):
-        from qpsk_tpu.modem import tx_stream
-        from qpsk_tpu.state import tx_init
-
         self.cfg = cfg
         self.pcfg = pcfg
         self._state = tx_init(cfg)
@@ -100,20 +98,21 @@ class StreamModulator:
     def push(self, payload_bits) -> np.ndarray:
         """Modulate (npkts, 8*payload_bytes) (or a single flat packet of)
         payload bits; returns the int16 passband PCM."""
-        from qpsk_tpu.packet.frame import assemble_packet
-
         p = np.asarray(payload_bits, np.int32)
         if p.ndim == 1:
             p = p[None, :]
         assert p.shape[-1] == 8 * self.pcfg.payload_bytes, p.shape
-        chan = np.asarray(assemble_packet(self.pcfg, jnp.asarray(p)))
+        # keep everything device-side inside the loop (one host download
+        # at the end): per-iteration np.asarray would serialize every
+        # dispatch on the blocking relay round trip
+        chan = assemble_packet(self.pcfg, jnp.asarray(p))
         out = []
         for i in range(chan.shape[0]):      # one static (1, frame_bits)
-            self._state, pcm = self._tx(self._state,
-                                         jnp.asarray(chan[i:i + 1]))
-            out.append(np.asarray(pcm).ravel())
-        return (np.concatenate(out) if out
-                else np.zeros(0, np.int16))
+            self._state, pcm = self._tx(self._state, chan[i:i + 1])
+            out.append(pcm.reshape(-1))
+        if not out:
+            return np.zeros(0, np.int16)
+        return np.asarray(jnp.concatenate(out))
 
 
 class StreamDemodulator:

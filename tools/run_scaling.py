@@ -34,7 +34,8 @@ def main() -> None:
         "docs", "scaling_cpu_mesh.jsonl")
     ncores = os.cpu_count()
     records = scaling_efficiency(device_counts=(1, 2, 4, 8),
-                                 channels_per_device=16, frames=16, iters=3)
+                                 channels_per_device=16, frames=16,
+                                 iters=10)
     with open(out, "w") as f:
         for rec in records:
             rec["physical_cores"] = ncores
