@@ -108,6 +108,58 @@ def test_fdm_receiver_streaming_push():
                    in tx_set for p in ok), c
 
 
+def test_fdm_receiver_impaired_wideband():
+    """Acceptance: the full multi-carrier deployment chain — 3 packet
+    streams muxed to one wideband, then a 40 ppm device-clock offset, a
+    −14 dB level error, and 22 dB AWGN applied AT THE WIDEBAND — decodes
+    on every subchannel through FdmReceiver with AGC + tracking timing
+    (clock slips cost individual packets, never a channel)."""
+    from qpsk_tpu.channel import clock_offset_pcm
+
+    cfg_tx = ModemConfig()
+    cfg_rx = ModemConfig(timing_mode="tracking", agc=True)
+    pcfg = PacketConfig(payload_bytes=30)
+    fcfg = FdmConfig(nslots=8)
+    c_n = fcfg.nchan
+    nframes = 40
+    rng = np.random.default_rng(4)
+    payload = jnp.asarray(rng.integers(0, 2, (c_n, nframes, 240),
+                                       dtype=np.int32))
+    _, pcm = tx_stream(cfg_tx, tx_init(cfg_tx, batch_shape=(c_n,)),
+                       assemble_packet(pcfg, payload), tx_offset_hz=30.0)
+    wide = fdm_mux(fcfg, pcm.reshape(c_n, -1))
+    wide = clock_offset_pcm(wide, 40e-6)
+    sp = float(jnp.mean((wide.astype(jnp.float32) / cfg_tx.pcm_scale) ** 2))
+    wide = awgn_pcm(jax.random.key(5), wide, snr_db=22.0, signal_power=sp)
+    g = 10.0 ** (-14.0 / 20.0)
+    wide = np.clip(np.round(np.asarray(wide, np.float32) * g),
+                   -32768, 32767).astype(np.int16)
+    wide = np.concatenate(
+        [wide, np.zeros((-len(wide)) % fcfg.nslots, np.int16)])
+
+    rx = FdmReceiver(fcfg, cfg_rx, pcfg, bucket_blocks=1024)
+    got = [[] for _ in range(c_n)]
+    pos = 0
+    for sz in rng.integers(4000, 30000, 200):
+        if pos >= wide.size:
+            break
+        for c, p in enumerate(rx.push(wide[pos:pos + int(sz)])):
+            got[c].extend(p)
+        pos += int(sz)
+    for c, p in enumerate(rx.flush()):
+        got[c].extend(p)
+    for c in range(c_n):
+        ok = [p for p in got[c] if p.crc_ok]
+        # slips under sustained 40 ppm drift cost individual packets
+        assert len(ok) >= int(0.75 * len(got[c])), (c, len(ok), len(got[c]))
+        tx_set = {np.asarray(payload)[c, j].tobytes()
+                  for j in range(nframes)}
+        assert all(np.asarray(p.payload).astype(np.int32).tobytes()
+                   in tx_set for p in ok), c
+        off = rx.demods[c].counters.detected_offset_hz
+        assert abs(off - 30.0) < 4.0, (c, off)
+
+
 def test_fdm_modem_loopback_all_channels_bit_exact():
     """Three independent packet streams share one wideband: TX (batched) ->
     fdm_mux -> AWGN -> fdm_demux -> batched RX -> per-channel sync ->
