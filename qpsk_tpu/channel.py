@@ -150,6 +150,38 @@ def phase_noise_pcm(key: jax.Array, pcm: jnp.ndarray, linewidth_hz: float,
     return jnp.clip(jnp.round(y), -32768, 32767).astype(jnp.int16)
 
 
+def impulse_noise_pcm(key: jax.Array, pcm: jnp.ndarray, rate_hz: float,
+                      fs: float, amp: float = 1.0,
+                      burst_samples: int = 8) -> jnp.ndarray:
+    """Impulsive interference on passband PCM — the classic audio-link
+    impairment AWGN doesn't model (ignition noise, static crashes,
+    switching clicks): Poisson-arriving bursts of ``burst_samples`` of
+    full-scale-times-``amp`` noise at ``rate_hz`` events/second.
+
+    Each burst wipes the samples it lands on; a CRC-checked packet layer
+    loses whole packets while FEC rides through (the interleaver spreads
+    one burst's symbols across the codeword — exactly what the
+    golden-prime interleaver is for).
+    """
+    x = pcm.astype(jnp.float32)
+    n = x.shape[-1]
+    kg, kn = jax.random.split(key)
+    p_event = jnp.float32(rate_hz / fs)
+    hit = jax.random.uniform(kg, x.shape, jnp.float32) < p_event
+    # widen each event to a burst: max over a sliding window via repeated
+    # shifted ORs (burst_samples is small and static)
+    mask = hit
+    for d in range(1, burst_samples):
+        shifted = jnp.concatenate(
+            [jnp.zeros(x.shape[:-1] + (d,), bool), hit[..., :n - d]],
+            axis=-1)
+        mask = mask | shifted
+    noise = jax.random.normal(kn, x.shape, jnp.float32) * jnp.float32(
+        32767.0 * amp)
+    y = jnp.where(mask, noise, x)
+    return jnp.clip(jnp.round(y), -32768, 32767).astype(jnp.int16)
+
+
 def doppler_ramp_offset(n: int, f0_hz: float, rate_hz_per_s: float,
                         fs: float) -> jnp.ndarray:
     """Per-sample instantaneous offset f(t) = f0 + rate·t for a Doppler ramp

@@ -107,6 +107,13 @@ def cmd_loopback(args) -> int:
         pcm = awgn_pcm(jax.random.key(args.seed), pcm,
                        snr_db=args.snr_db, signal_power=sp,
                        pcm_scale=cfg.pcm_scale)
+    if getattr(args, "impulse_rate", 0.0):
+        # impulsive interference (static crashes / ignition noise): pair
+        # with --fec — the interleaver spreads each burst across codewords
+        from qpsk_tpu.channel import impulse_noise_pcm
+        pcm = impulse_noise_pcm(jax.random.key(args.seed + 2),
+                                pcm.reshape(-1), args.impulse_rate,
+                                cfg.fs).reshape(pcm.shape)
     if getattr(args, "level_db", 0.0):
         # mis-set audio level AFTER the channel (an RX-side gain error):
         # pair with --agc to decode anyway
@@ -380,6 +387,9 @@ def main(argv=None) -> int:
     lp.add_argument("--clock-ppm", type=float, default=0.0,
                     help="TX/RX sample-clock mismatch in ppm; pair with "
                          "--timing tracking")
+    lp.add_argument("--impulse-rate", type=float, default=0.0,
+                    help="impulsive interference bursts per second "
+                         "(full-scale, 8-sample); pair with --fec")
     lp.add_argument("--phase-noise-hz", type=float, default=0.0,
                     help="TX oscillator phase-noise linewidth, Hz (Wiener "
                          "walk)")
