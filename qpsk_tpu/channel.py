@@ -171,7 +171,7 @@ def impulse_noise_pcm(key: jax.Array, pcm: jnp.ndarray, rate_hz: float,
     # widen each event to a burst: max over a sliding window via repeated
     # shifted ORs (burst_samples is small and static)
     mask = hit
-    for d in range(1, burst_samples):
+    for d in range(1, min(burst_samples, n)):
         shifted = jnp.concatenate(
             [jnp.zeros(x.shape[:-1] + (d,), bool), hit[..., :n - d]],
             axis=-1)

@@ -15,8 +15,8 @@ ESTIMATOR is unambiguous for |f| < fs/8 = 1200 Hz.  The CHAIN's usable lock
 range is narrower: the matched filter is fixed at the nominal carrier, so a
 large offset parks the signal on the filter skirt before acquisition ever
 sees it.  Measured end-to-end at 10 dB (tools/run_lock_range.py,
-docs/lock_range.jsonl): cold-start decodes to ±150 Hz, FFT-seeded to
-±300 Hz — 2x the cold range and 6x the reference's demonstrated +50 Hz
+docs/lock_range.jsonl): cold-start decodes to ±150 Hz, FFT-seeded ≥95%
+to ±300 Hz — 2x the cold range and 6x the reference's demonstrated +50 Hz
 (qpsk.c:320), against an audio channel whose own ~[300, 3300] Hz passband
 makes larger errors physically out of spec anyway.
 """

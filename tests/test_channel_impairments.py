@@ -296,7 +296,7 @@ def test_fec_rides_through_impulse_noise():
                            tx_offset_hz=50.0)
         sp = float(jnp.mean((pcm.astype(jnp.float32) / cfg.pcm_scale) ** 2))
         noisy = awgn_pcm(jax.random.key(1), pcm, snr_db=14.0,
-                         signal_power=sp)
+                         signal_power=sp, pcm_scale=cfg.pcm_scale)
         flat = impulse_noise_pcm(jax.random.key(3), noisy.reshape(-1),
                                  rate_hz=10.0, fs=cfg.fs)
         flat = jnp.concatenate(

@@ -150,6 +150,9 @@ def test_fdm_receiver_impaired_wideband():
         got[c].extend(p)
     for c in range(c_n):
         ok = [p for p in got[c] if p.crc_ok]
+        # absolute floor first: the receiver must have emitted (nearly)
+        # the whole stream, not a clean-looking fragment of it
+        assert len(got[c]) >= nframes - 12, (c, len(got[c]))
         # slips under sustained 40 ppm drift cost individual packets
         assert len(ok) >= int(0.75 * len(got[c])), (c, len(ok), len(got[c]))
         tx_set = {np.asarray(payload)[c, j].tobytes()

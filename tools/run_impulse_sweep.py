@@ -51,7 +51,7 @@ def main() -> None:
                            tx_offset_hz=50.0)
         sp = float(jnp.mean((pcm.astype(jnp.float32) / cfg.pcm_scale) ** 2))
         noisy = awgn_pcm(jax.random.key(seed + 1), pcm, snr_db=SNR_DB,
-                         signal_power=sp)
+                         signal_power=sp, pcm_scale=cfg.pcm_scale)
         flat = impulse_noise_pcm(jax.random.key(seed + 5),
                                  noisy.reshape(-1), rate, cfg.fs)
         flat = jnp.concatenate(
@@ -71,7 +71,16 @@ def main() -> None:
             rx = extract_packets_soft_tracked(pcfg, llrs[skip:], sync, nav)
         else:
             rx = extract_packets_tracked(pcfg, b[skip:], sync, nav)
-        return int(np.asarray(rx.crc_ok).sum()), nav
+        # guard against CRC collisions / duplicated frames: a packet
+        # counts only if its payload is one the TX actually sent (the
+        # same discipline as eval.per_vs_snr)
+        tx_set = {np.asarray(pay)[j].astype(np.int32).tobytes()
+                  for j in range(NFRAMES)}
+        ok = np.asarray(rx.crc_ok)
+        pays = np.asarray(rx.payload_bits).astype(np.int32)
+        good = sum(1 for j in range(nav)
+                   if ok[j] and pays[j].tobytes() in tx_set)
+        return good, nav
 
     docs = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs")
