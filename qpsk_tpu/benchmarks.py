@@ -404,7 +404,13 @@ def single_stream_blockparallel_throughput(frames: int | None = None,
     @jax.jit
     def chained(acc, x):
         def body(_, a):
-            _, bits, _ = rx_stream_blockparallel(cfg, x, nblocks)
+            # perturb the input with the carry so the body is NOT
+            # loop-invariant — otherwise XLA's while-loop invariant code
+            # motion hoists the whole demod out and the loop measures
+            # nothing (caught in review: the un-perturbed form reported
+            # inner-times the real rate)
+            xx = x + (a & 1).astype(jnp.int16)
+            _, bits, _ = rx_stream_blockparallel(cfg, xx, nblocks)
             return a + jnp.sum(bits)
         acc = jax.lax.fori_loop(0, inner, body, acc)
         return acc, acc

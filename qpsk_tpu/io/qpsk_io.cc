@@ -264,11 +264,18 @@ static const uint16_t kPrimes[] = {
     233, 239, 241, 251, 257, 263, 269, 271, 277, 281,
     283, 293, 307, 311, 313, 317, 331, 337, 347};
 
-void interleave_permutation_native(int64_t nbits, int32_t *perm) {
+// Largest table prime < nbits (interleave.c:33-41 selection rule) — the
+// ONE place the rule lives, so the bijectivity guard below always checks
+// the same prime the permutation uses.
+static int64_t pick_prime(int64_t nbits) {
     int64_t imax = (int64_t)(sizeof(kPrimes) / sizeof(kPrimes[0]));
     int64_t index = 1;
     while (index < imax && kPrimes[index] < nbits) index++;
-    int64_t b = kPrimes[index - 1];
+    return kPrimes[index - 1];
+}
+
+void interleave_permutation_native(int64_t nbits, int32_t *perm) {
+    int64_t b = pick_prime(nbits);
     for (int64_t i = 0; i < nbits; i++) perm[(b * i) % nbits] = (int32_t)i;
 }
 
@@ -277,10 +284,7 @@ void interleave_permutation_native(int64_t nbits, int32_t *perm) {
 // then non-invertible and would silently corrupt data — the exact reference
 // defect (interleave.c:52-59) the Python twin (_check_bijective) refuses.
 int interleave_bits_native(uint8_t *bits, int64_t nbits, int deinter) {
-    int64_t imax = (int64_t)(sizeof(kPrimes) / sizeof(kPrimes[0]));
-    int64_t index = 1;
-    while (index < imax && kPrimes[index] < nbits) index++;
-    int64_t b = kPrimes[index - 1];
+    int64_t b = pick_prime(nbits);
     int64_t x = b, y = nbits;  // gcd(b, nbits)
     while (y) { int64_t t = x % y; x = y; y = t; }
     if (x != 1) return -2;

@@ -69,9 +69,7 @@ def _prec(cfg: ModemConfig):
 
 def _gear_for(cfg: ModemConfig):
     """CostasGear for the config, or None (single-bandwidth loop)."""
-    if cfg.loop_bw_track <= 0:
-        return None
-    return costas_ops.costas_gear(cfg.loop_bw_track, cfg.damping)
+    return costas_ops.gear_for(cfg.loop_bw_track, cfg.damping)
 
 
 class RxOut(NamedTuple):
@@ -176,6 +174,10 @@ def _use_fused_tx(cfg: ModemConfig, batch, nsym_total: int,
             or cfg.nco_mode != "fast":
         return False
     if cfg.tx_impl == "pallas":
+        # forcing is allowed beyond the auto gate's conservative geometry
+        # preferences (interpret-mode tests run odd batches — the wrapper
+        # pads); sizes that would produce WRONG output (un-tiled symbol
+        # counts) are refused loudly by tx_modulate_fused's own assert
         return True
     return (cfg.tx_impl == "auto"
             and jax.default_backend() == "tpu"
@@ -322,6 +324,19 @@ def _use_fused_frontend(cfg: ModemConfig, batch, fsz: int,
                         nframes: int) -> bool:
     from qpsk_tpu.ops.pallas.frontend_kernel import frontend_supported
     if cfg.frontend_impl == "pallas":
+        # forcing past the auto gate's geometry preferences is fine (the
+        # wrapper pads channels; interpret-mode tests rely on it), but a
+        # config whose SEMANTICS the kernel does not implement must fail
+        # loudly: silently substituting power timing for a tracking
+        # timing PLL (or bf16 filtering for the exact parity path) is the
+        # silent-degradation class ops/timing.py warns about
+        if cfg.timing_mode != "power" or cfg.fir_precision != "fast":
+            raise ValueError(
+                "frontend_impl='pallas' forced but the fused kernel only "
+                "implements timing_mode='power' with fir_precision="
+                "'fast' (got timing_mode="
+                f"{cfg.timing_mode!r}, fir_precision={cfg.fir_precision!r});"
+                " use frontend_impl='auto' to fall back gracefully")
         return True
     return (cfg.frontend_impl == "auto"
             and jax.default_backend() == "tpu"

@@ -104,6 +104,27 @@ def costas_init(batch_shape=(), phase=0.0, freq=0.0,
         locked=bc(0.0) if gear else None)
 
 
+def gear_for(loop_bw_track: float, damping: float = math.sqrt(2.0) / 2.0):
+    """CostasGear for a config's (loop_bw_track, damping), or None when
+    gear-shifting is off — the ONE place the enable rule lives (the modem
+    and both parallel paths share it, so they can never run different
+    gears for the same config)."""
+    if loop_bw_track <= 0:
+        return None
+    return costas_gear(loop_bw_track, damping)
+
+
+def costas_init_from_freq(freq0: jnp.ndarray, gear: bool) -> "CostasState":
+    """Warm-started loop state at per-channel ``freq0`` with zero phase.
+    Every plane derives from ``freq0`` rather than replicated constants —
+    required for the carry's varying-manual-axes to match under
+    ``shard_map`` (parallel/stream.py) — and the unlocked gear cold-start
+    (lev=1, locked=0) lives here, next to ``costas_init``'s."""
+    return CostasState(phase=freq0 * 0.0, freq=freq0,
+                       lev=freq0 * 0.0 + 1.0 if gear else None,
+                       locked=freq0 * 0.0 if gear else None)
+
+
 def costas_gear(loop_bw_trk: float,
                 damping: float = math.sqrt(2.0) / 2.0,
                 gamma: float = 1.0 / 64.0, enter: float = 0.32,

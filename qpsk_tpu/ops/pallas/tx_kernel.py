@@ -194,6 +194,11 @@ def tx_modulate_fused(cfg, symbols: CF32, nco_phase: CF32, fir_tail: CF32,
     ntaps_m1 = cfg.ntaps - 1
     cycles = cfg.cycles
     hs = _halo_syms(cfg.ntaps, cycles)
+    # un-tiled symbol counts would leave output blocks unwritten and the
+    # tail slice negative-indexed — refuse instead of emitting garbage
+    # (tx_supported is the dispatch-level twin of this check)
+    assert s % _BS == 0 and s >= hs, (
+        f"fused TX needs nsym % {_BS} == 0 and nsym >= {hs}, got {s}")
 
     sym_re, sym_im = symbols.re, symbols.im
     phase = nco_phase

@@ -94,12 +94,8 @@ def rx_stream_blockparallel(cfg: ModemConfig, pcm: jnp.ndarray,
     f_hz = acquire.acquire_freq_hz(heads, cfg.fs, nfft=nfft)
     freq0 = jnp.clip(acquire.hz_to_costas_freq(f_hz, cfg.rs),
                      cfg.min_freq, cfg.max_freq)
-    gear = (costas_ops.costas_gear(cfg.loop_bw_track, cfg.damping)
-            if cfg.loop_bw_track > 0 else None)
-    cstate = costas_ops.CostasState(
-        phase=freq0 * 0.0, freq=freq0,
-        lev=freq0 * 0.0 + 1.0 if gear is not None else None,
-        locked=freq0 * 0.0 if gear is not None else None)
+    gear = costas_ops.gear_for(cfg.loop_bw_track, cfg.damping)
+    cstate = costas_ops.costas_init_from_freq(freq0, gear is not None)
 
     params = costas_ops.costas_params(cfg.loop_bw, cfg.damping,
                                       cfg.min_freq, cfg.max_freq)

@@ -142,14 +142,11 @@ def rx_stream_timeparallel(cfg: ModemConfig, pcm: jnp.ndarray, mesh: Mesh,
                                        cfg.fs, nfft=nfft)
         freq0 = acquire.hz_to_costas_freq(f_hz, cfg.rs)
         # phase derives from freq0 (not a replicated constant) so the scan
-        # carry's varying-manual-axes match under shard_map
-        gear = (costas_ops.costas_gear(cfg.loop_bw_track, cfg.damping)
-                if cfg.loop_bw_track > 0 else None)
-        cstate = costas_ops.CostasState(
-            phase=freq0 * 0.0,
-            freq=jnp.clip(freq0, cfg.min_freq, cfg.max_freq),
-            lev=freq0 * 0.0 + 1.0 if gear is not None else None,
-            locked=freq0 * 0.0 if gear is not None else None)
+        # carry's varying-manual-axes match under shard_map (see
+        # costas_init_from_freq)
+        gear = costas_ops.gear_for(cfg.loop_bw_track, cfg.damping)
+        cstate = costas_ops.costas_init_from_freq(
+            jnp.clip(freq0, cfg.min_freq, cfg.max_freq), gear is not None)
         if gear is not None:
             cstate, derot = costas_ops.costas_run_gear(cstate, picks, params,
                                                        gear)

@@ -36,19 +36,29 @@ def load_state(path: str, like):
     and the placement: each restored leaf adopts the sharding of the
     corresponding ``like`` leaf when that leaf is a committed jax Array, so
     sharded state reloads onto the same mesh layout.  Raises ``ValueError``
-    if the saved structure does not match ``like``.
+    if the saved leaves don't line up with ``like`` (count or per-leaf
+    shape) — a structural drift that would silently mis-assign state.
+    The leaf-level check (rather than strict treedef-repr equality) keeps
+    old checkpoints loadable across benign pytree evolution, e.g. a state
+    class gaining ``None`` fields (the treedef repr changes, the stored
+    leaves don't).
     """
     data = np.load(path)
     leaves_like, treedef = jax.tree.flatten(like)
-    saved_def = bytes(data["treedef"]).decode()
-    if saved_def != repr(treedef):
-        raise ValueError(
-            f"checkpoint structure mismatch:\n  saved: {saved_def}\n"
-            f"  expected: {treedef!r}")
     nsaved = sum(1 for k in data.files if k.startswith("leaf_"))
     if nsaved != len(leaves_like):
-        raise ValueError(f"checkpoint holds {nsaved} leaves, "
-                         f"'like' has {len(leaves_like)}")
+        saved_def = bytes(data["treedef"]).decode()
+        raise ValueError(
+            f"checkpoint structure mismatch: holds {nsaved} leaves, "
+            f"'like' has {len(leaves_like)}\n  saved treedef: {saved_def}\n"
+            f"  expected: {treedef!r}")
+    for i, ref in enumerate(leaves_like):
+        saved_shape = data[f"leaf_{i}"].shape
+        ref_shape = tuple(getattr(ref, "shape", ()))
+        if tuple(saved_shape) != ref_shape:
+            raise ValueError(
+                f"checkpoint structure mismatch at leaf {i}: saved shape "
+                f"{tuple(saved_shape)}, 'like' has {ref_shape}")
 
     def place(i, ref):
         arr = data[f"leaf_{i}"]
