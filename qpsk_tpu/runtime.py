@@ -28,7 +28,12 @@ Behavior:
   drains packets through soft-decision Viterbi (~2 dB over hard-input
   decoding) — hard bits still drive the CRC-scored sync hunt;
 * ``flush()`` drains remaining whole packets; counters expose link metrics
-  (frames, packets, CRC failures, detected offset);
+  (frames, packets, CRC failures, detected offset, blind carrier-SNR
+  estimate);
+* squelch / carrier detect: with ``squelch_db`` set, the sync hunt only
+  runs while the blind M2M4 SNR estimate of each bucket says a carrier is
+  present (3 dB hysteresis); dead-air bits are discarded, not hunted —
+  ``counters.carrier_detect`` is the DCD line;
 * signal gaps: if CRC failures persist for ``resync_after`` consecutive
   packets the receiver drops sync and re-acquires — the failure-detect/
   re-arm behavior the reference lacks (SURVEY.md §5).
@@ -71,6 +76,10 @@ class LinkCounters:
     resyncs: int = 0
     detected_offset_hz: float = 0.0
     synced: bool = False
+    # blind M2M4 SNR estimate of the last demodulated bucket (dB,
+    # metrics.snr_estimate_db) and the squelch/DCD verdict derived from it
+    carrier_snr_db: float = float("nan")
+    carrier_detect: bool = False
 
 
 class StreamModulator:
@@ -121,13 +130,25 @@ class StreamDemodulator:
     def __init__(self, cfg: ModemConfig, pcfg: PacketConfig,
                  sync_skip_frames: int = 8, probe_frames: int = 4,
                  resync_after: int = 8, bucket_frames: int = 8,
-                 slip_track: int = 1):
+                 slip_track: int = 1, squelch_db: float | None = None):
         self.cfg = cfg
         self.pcfg = pcfg
         self.sync_skip = sync_skip_frames * pcfg.frame_bits
+        self._sync_skip0 = self.sync_skip
         self.probe_frames = probe_frames
         self.resync_after = resync_after
         self.bucket_frames = bucket_frames
+        # squelch / carrier detect (DCD): with ``squelch_db`` set, each
+        # demodulated bucket updates a blind M2M4 SNR estimate
+        # (metrics.snr_estimate_db — rotation-invariant, so it detects a
+        # QPSK carrier *before* Costas lock) and the CRC-scored sync hunt
+        # only runs while the estimate says a carrier is present (open at
+        # squelch_db, close at squelch_db - 3 dB of hysteresis).  On dead
+        # air the noise bits are discarded instead of hunted through —
+        # every real modem's squelch, which the batch extractors don't
+        # need but a 24/7 receiver does.  None = always hunt (the
+        # pre-squelch behavior); the SNR estimate is recorded either way.
+        self.squelch_db = squelch_db
         # slip_track > 0: per-drain hypotheses also span bit-lag shifts of
         # ±2*slip_track, so a SYMBOL slip (timing-phase wrap under clock
         # drift repeats/drops one symbol, shifting all later framing by
@@ -197,6 +218,16 @@ class StreamDemodulator:
         self.counters.frames += nframes
         self.counters.detected_offset_hz = float(np.mean(
             np.asarray(out.freq_hz)[-min(10, nframes):]))
+        from qpsk_tpu.metrics import snr_estimate_db
+        snr = float(snr_estimate_db(CF32(out.symbols.re.reshape(-1),
+                                         out.symbols.im.reshape(-1))))
+        self.counters.carrier_snr_db = snr
+        if self.squelch_db is None:
+            self.counters.carrier_detect = True
+        elif self.counters.carrier_detect:
+            self.counters.carrier_detect = snr >= self.squelch_db - 3.0
+        else:
+            self.counters.carrier_detect = snr >= self.squelch_db
         self._bit_buf = np.concatenate(
             [self._bit_buf, np.asarray(out.bits).ravel()])
         if self._use_soft:
@@ -250,6 +281,18 @@ class StreamDemodulator:
         shifts = np.arange(-hw, hw + 1, 2, dtype=np.int64)
         out: list[Packet] = []
         while True:
+            if self._sync is None and self.squelch_db is not None \
+                    and not self.counters.carrier_detect:
+                # squelched: no carrier, nothing to hunt — drop the noise
+                # bits and re-arm the post-onset transient skip, so the
+                # hunt restarts fresh (and cheap) when the carrier returns.
+                # An ESTABLISHED sync is never squelch-dropped: buffered
+                # signal keeps draining and only resync_after CRC failures
+                # end the epoch (the gap path below).
+                self._bit_buf = self._bit_buf[:0]
+                self._llr_buf = self._llr_buf[:0]
+                self.sync_skip = self._sync_skip0
+                return out
             if self._sync is None and not self._try_sync():
                 return out
             nf = self._bit_buf.size // fb

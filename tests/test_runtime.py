@@ -148,3 +148,55 @@ def test_stream_modulator_chunks_and_circle():
     assert len(ok) >= 19
     assert all(np.asarray(p.payload).astype(np.int32).tobytes() in tx_set
                for p in ok)
+
+
+def test_squelch_dead_air_then_signal():
+    """Squelch / carrier detect (DCD): on noise-only input the receiver
+    reports no carrier, never hunts (bit buffer stays empty), and when the
+    carrier appears it opens, syncs, and decodes bit-exact."""
+    rng = np.random.default_rng(7)
+    noise = (rng.normal(0.0, 600.0, 40 * CFG.frame_size)).astype(np.int16)
+    payload, signal = _tx(50, seed=8, snr=12.0)
+    demod = StreamDemodulator(CFG, PCFG, squelch_db=5.0)
+
+    got = list(demod.push(noise))
+    assert got == []
+    assert not demod.counters.carrier_detect
+    assert demod.counters.carrier_snr_db < 5.0
+    # squelched: dead-air bits are dropped, not buffered for a hunt
+    assert demod._bit_buf.size == 0
+
+    got = list(demod.push(signal)) + list(demod.flush())
+    assert demod.counters.carrier_detect
+    assert demod.counters.carrier_snr_db > 5.0
+    ok = [p for p in got if p.crc_ok]
+    assert len(ok) >= 30, len(ok)
+    wanted = _payload_set(payload)
+    assert all(p.payload.astype(np.uint8).tobytes() in wanted for p in ok)
+
+
+def test_squelch_matches_unsquelched_on_clean_signal():
+    """With a carrier present the squelch is transparent: same packets as
+    the unsquelched receiver."""
+    payload, pcm = _tx(40, seed=9, snr=10.0)
+    plain = StreamDemodulator(CFG, PCFG)
+    gated = StreamDemodulator(CFG, PCFG, squelch_db=4.0)
+    got_p = list(plain.push(pcm)) + list(plain.flush())
+    got_g = list(gated.push(pcm)) + list(gated.flush())
+    assert len(got_p) == len(got_g)
+    for a, b in zip(got_p, got_g):
+        assert a.crc_ok == b.crc_ok
+        assert np.array_equal(a.payload, b.payload)
+    assert gated.counters.carrier_detect
+    # the blind estimate should sit near the true channel SNR
+    assert abs(gated.counters.carrier_snr_db - 10.0) < 3.0
+
+
+def test_carrier_snr_recorded_without_squelch():
+    """The M2M4 estimate is recorded (and DCD forced open) when squelch is
+    off — pure observability, no behavior change."""
+    _, pcm = _tx(20, seed=10, snr=8.0)
+    demod = StreamDemodulator(CFG, PCFG)
+    demod.push(pcm)
+    assert demod.counters.carrier_detect
+    assert np.isfinite(demod.counters.carrier_snr_db)
