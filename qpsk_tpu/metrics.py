@@ -11,6 +11,7 @@ import math
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from qpsk_tpu.ops.cplx import CF32
 
@@ -47,6 +48,21 @@ def snr_estimate_db(symbols: CF32) -> jnp.ndarray:
     s = jnp.sqrt(jnp.maximum(2.0 * m2 * m2 - m4, 1e-30))
     n = jnp.maximum(m2 - s, 1e-30 * m2 + 1e-30)
     return 10.0 * jnp.log10(s / n)
+
+
+def snr_estimate_db_host(re: np.ndarray, im: np.ndarray) -> float:
+    """NumPy twin of :func:`snr_estimate_db` for host-side link counters.
+
+    On the relayed TPU backend every eager ``jnp`` op is a blocking round
+    trip, so the streaming runtime downloads the (tiny) symbol block once
+    and computes the M2M4 moments here instead of dispatching ~8 device
+    ops per bucket (qpsk_tpu.runtime.StreamDemodulator._demod)."""
+    p = np.asarray(re, np.float64) ** 2 + np.asarray(im, np.float64) ** 2
+    m2 = float(p.mean())
+    m4 = float((p * p).mean())
+    s = math.sqrt(max(2.0 * m2 * m2 - m4, 1e-30))
+    n = max(m2 - s, 1e-30 * m2 + 1e-30)
+    return 10.0 * math.log10(s / n)
 
 
 def evm(symbols: CF32, normalize: bool = True) -> LinkMetrics:

@@ -30,10 +30,13 @@ Behavior:
 * ``flush()`` drains remaining whole packets; counters expose link metrics
   (frames, packets, CRC failures, detected offset, blind carrier-SNR
   estimate);
-* squelch / carrier detect: with ``squelch_db`` set, the sync hunt only
-  runs while the blind M2M4 SNR estimate of each bucket says a carrier is
-  present (3 dB hysteresis); dead-air bits are discarded, not hunted —
-  ``counters.carrier_detect`` is the DCD line;
+* squelch / carrier detect: with ``squelch_db`` set, each demodulated
+  bucket updates a blind M2M4 SNR estimate (3 dB hysteresis) and the
+  squelch verdict is applied PER BUCKET — a squelched bucket's dead-air
+  bits are discarded (after any carrier-present bits buffered ahead of
+  them are hunted/drained) and the loop state cold-restarts so the next
+  carrier onset re-runs FFT acquisition; ``counters.carrier_detect`` is
+  the DCD line;
 * signal gaps: if CRC failures persist for ``resync_after`` consecutive
   packets the receiver drops sync and re-acquires — the failure-detect/
   re-arm behavior the reference lacks (SURVEY.md §5).
@@ -50,6 +53,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from qpsk_tpu.config import ModemConfig
+from qpsk_tpu.metrics import snr_estimate_db_host
 from qpsk_tpu.modem import rx_acquire_hz, rx_stream, tx_stream
 from qpsk_tpu.ops.acquire import hz_to_costas_freq
 from qpsk_tpu.ops.cplx import CF32
@@ -195,14 +199,24 @@ class StreamDemodulator:
         self._pcm_buf = np.concatenate([self._pcm_buf, pcm])
         fsz = self.cfg.frame_size
         bucket = self.bucket_frames * fsz
+        out: list[Packet] = []
         while self._pcm_buf.size >= bucket:
-            self._demod(self._pcm_buf[:bucket].reshape(self.bucket_frames,
-                                                       fsz))
+            out.extend(self._demod(
+                self._pcm_buf[:bucket].reshape(self.bucket_frames, fsz)))
             self._pcm_buf = self._pcm_buf[bucket:]
-        return self._drain()
+        out.extend(self._drain())
+        return out
 
-    def _demod(self, chunk: np.ndarray) -> None:
-        """Run one fixed-shape rx_stream pass and buffer its bits/LLRs."""
+    def _demod(self, chunk: np.ndarray) -> list[Packet]:
+        """Run one fixed-shape rx_stream pass and buffer its bits/LLRs.
+
+        Squelch is applied HERE, per bucket (not once per ``push`` in
+        ``_drain``): a push carrying a burst followed by dead air must
+        first hunt/drain the carrier-present buckets' bits before the
+        squelched bucket's noise bits are dropped — gating the drop on the
+        last bucket's carrier verdict alone would silently discard the
+        decodable burst buffered ahead of it.  Returns any packets a
+        pre-squelch drain emitted."""
         nframes = chunk.shape[0]
         if self._state is None:
             acq = 0.0
@@ -218,9 +232,10 @@ class StreamDemodulator:
         self.counters.frames += nframes
         self.counters.detected_offset_hz = float(np.mean(
             np.asarray(out.freq_hz)[-min(10, nframes):]))
-        from qpsk_tpu.metrics import snr_estimate_db
-        snr = float(snr_estimate_db(CF32(out.symbols.re.reshape(-1),
-                                         out.symbols.im.reshape(-1))))
+        # blind M2M4 SNR on the host: the symbol block is tiny (~8 KB) so
+        # one download beats ~8 eager device ops serialized on the relay
+        snr = snr_estimate_db_host(np.asarray(out.symbols.re).ravel(),
+                                   np.asarray(out.symbols.im).ravel())
         self.counters.carrier_snr_db = snr
         if self.squelch_db is None:
             self.counters.carrier_detect = True
@@ -228,6 +243,29 @@ class StreamDemodulator:
             self.counters.carrier_detect = snr >= self.squelch_db - 3.0
         else:
             self.counters.carrier_detect = snr >= self.squelch_db
+
+        pkts: list[Packet] = []
+        if self.squelch_db is not None and not self.counters.carrier_detect:
+            # squelched: hunt/drain whatever bits are already buffered from
+            # earlier buckets FIRST (a burst buffered ahead of this dead-air
+            # bucket must decode; an established epoch must get the chance
+            # to end through its own resync_after CRC-failure path) ...
+            pkts = self._drain()
+            if self._sync is None:
+                # ... then, still un-synced, drop the noise (this bucket's
+                # bits never enter the buffer), re-arm the post-onset
+                # transient skip, and cold-restart the loop state so the
+                # next bucket re-runs FFT acquisition — during long dead
+                # air the Costas frequency register would otherwise
+                # random-walk on noise beyond pull-in range.
+                self._bit_buf = self._bit_buf[:0]
+                self._llr_buf = self._llr_buf[:0]
+                self.sync_skip = self._sync_skip0
+                self._state = None
+                return pkts
+            # the drain established sync mid-flush: an ESTABLISHED sync is
+            # never squelch-dropped — fall through and buffer this bucket's
+            # bits; only resync_after CRC failures end the epoch.
         self._bit_buf = np.concatenate(
             [self._bit_buf, np.asarray(out.bits).ravel()])
         if self._use_soft:
@@ -235,6 +273,7 @@ class StreamDemodulator:
                                    out.symbols.im.reshape(-1)))
             self._llr_buf = np.concatenate(
                 [self._llr_buf, np.asarray(llrs).ravel()])
+        return pkts
 
     # ------------------------------------------------------------------
     def _try_sync(self) -> bool:
@@ -281,18 +320,10 @@ class StreamDemodulator:
         shifts = np.arange(-hw, hw + 1, 2, dtype=np.int64)
         out: list[Packet] = []
         while True:
-            if self._sync is None and self.squelch_db is not None \
-                    and not self.counters.carrier_detect:
-                # squelched: no carrier, nothing to hunt — drop the noise
-                # bits and re-arm the post-onset transient skip, so the
-                # hunt restarts fresh (and cheap) when the carrier returns.
-                # An ESTABLISHED sync is never squelch-dropped: buffered
-                # signal keeps draining and only resync_after CRC failures
-                # end the epoch (the gap path below).
-                self._bit_buf = self._bit_buf[:0]
-                self._llr_buf = self._llr_buf[:0]
-                self.sync_skip = self._sync_skip0
-                return out
+            # NOTE: squelch drops happen per bucket in _demod (before this
+            # buffer ever sees dead-air bits); anything buffered here came
+            # from carrier-present buckets (or an established epoch) and is
+            # always hunted/drained.
             if self._sync is None and not self._try_sync():
                 return out
             nf = self._bit_buf.size // fb
@@ -370,7 +401,9 @@ class StreamDemodulator:
         one frame per pass — the second and last static shape), then decode
         whatever whole packets remain."""
         fsz = self.cfg.frame_size
+        out: list[Packet] = []
         while self._pcm_buf.size >= fsz:
-            self._demod(self._pcm_buf[:fsz].reshape(1, fsz))
+            out.extend(self._demod(self._pcm_buf[:fsz].reshape(1, fsz)))
             self._pcm_buf = self._pcm_buf[fsz:]
-        return self._drain()
+        out.extend(self._drain())
+        return out
