@@ -12,22 +12,31 @@ Measurement discipline (matters on tunneled/remote TPU backends):
   ``np.asarray`` of a full output would measure the transfer;
 * iterations chain the state pytree so XLA cannot overlap them.
 
-Measured on one TPU v5e chip (2026-08-18, docs/bench_suite_v5e.jsonl):
-**24.0 Gsamples/s** aggregate RX at 2048 channels — ~1900x the 12.5 MS/s
-per-chip share of the BASELINE 100 MS/s v5e-8 target.  The fused mix-free
-Pallas front-end kernel runs 43.1 GS/s standalone (chunked Toeplitz +
-scratch halo + modulated taps, ops/pallas/frontend_kernel.py) vs 9.2 GS/s
-for the staged XLA chain; the fused Costas kernel 16.8 Gsymbols/s at 2048
-channels x 2048 symbols (3.5x the lax.scan lowering).  The parts compose:
-per-sample, 1/43.1e9 (front-end) + 1/(4*16.8e9) (Costas at 4 samp/sym)
-predicts 26.3 GS/s — the measured 24.0 is that minus slicer/glue.  Two
-things matter equally: the fused rx_stream path (one Pallas front-end
-kernel + a single Pallas Costas kernel with the channel batch on the
-lanes), and amortizing the relayed backend's ~1.8 ms per-launch cost
-over an in-jit fori_loop of chained steps — per-call timing measures the
-tunnel, not the chip (a null ``x*2`` jit costs 1.76 ms/call here).  The
-naive per-frame scan with a ``take_along_axis`` decimator ran 30x slower
-than the fused path.
+Measured on one TPU v5e chip (2026-08-19, docs/bench_suite_v5e.jsonl):
+**25.7 Gsamples/s** aggregate RX at 2048 channels (26.0 at 4096) —
+~2060x the 12.5 MS/s per-chip share of the BASELINE 100 MS/s v5e-8
+target.  The fused mix-free Pallas front-end kernel runs 43.1 GS/s
+standalone (chunked Toeplitz + scratch halo + modulated taps,
+ops/pallas/frontend_kernel.py; 44.1 at 4096 ch — linear in channels) vs
+9.2 GS/s for the staged XLA chain; the fused Costas kernel 17.7
+Gsymbols/s at 2048 channels x 2048 symbols in the block-rate-trace mode
+rx_stream uses (25.9 at 4096 ch — the serial step cost is issue
+overhead, so wider channel batches amortize it).  Since round 3 the two
+kernels compose with ZERO host glue (the tm fast path, modem._use_tm_path):
+the front-end emits one-frame-DELAYED picks time-major straight into the
+Costas kernel — no delay concat, no (C, T) fold transpose, freq trace
+written at block rate — and the parts now predict the whole to ~4 %:
+1/43.1e9 + 1/(4*17.7e9) per sample = 26.8 GS/s vs 25.7 measured (the
+residual is the bit slicer's read of the derotated planes).  Two things
+matter equally: the fused rx_stream path and amortizing the relayed
+backend's ~1.8 ms per-launch cost over an in-jit fori_loop of chained
+steps — per-call timing measures the tunnel, not the chip (a null
+``x*2`` jit costs 1.76 ms/call here).  The naive per-frame scan with a
+``take_along_axis`` decimator ran 30x slower than the fused path.
+Negative results (don't retry): frames=32 at 4096 ch measured 23.9 GS/s
+(worse than 16); Costas tt tile 2x/4x sweeps moved <=0.5 %; 8192
+channels regressed the aggregate to 18.3 GS/s though the Costas kernel
+alone reached 28.4 Gsym/s there.
 """
 
 from __future__ import annotations

@@ -391,11 +391,51 @@ def _use_modulated_xla(cfg: ModemConfig) -> bool:
             and cfg.nco_mode == "fast")
 
 
+def _use_tm_path(cfg: ModemConfig, batch, fsz: int, nframes: int,
+                 use_pallas_costas: bool) -> bool:
+    """The zero-glue fast path: front-end kernel emits one-frame-delayed,
+    TIME-MAJOR picks straight into the fused Costas kernel — no host delay
+    concat, no (C, T) fold transpose, block-rate freq trace.  Needs both
+    kernels engaged and no stage (AGC / CMA equalizer) between them."""
+    from qpsk_tpu.ops.pallas.frontend_kernel import frontend_tm_supported
+    if not use_pallas_costas or cfg.agc or cfg.eq_taps > 0:
+        return False
+    if cfg.frontend_impl not in ("auto", "pallas"):
+        return False
+    if cfg.frontend_impl == "auto" and jax.default_backend() != "tpu":
+        return False
+    return (len(batch) == 1
+            and frontend_tm_supported(cfg, batch, fsz, nframes))
+
+
 def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     batch = pcm.shape[:-2]
     nframes, fsz = pcm.shape[-2], pcm.shape[-1]
     nsf = cfg.symbols_per_frame
     n = nframes * fsz
+
+    params = costas_ops.costas_params(cfg.loop_bw, cfg.damping,
+                                      cfg.min_freq, cfg.max_freq)
+    gear = _gear_for(cfg)
+    use_pallas = cfg.costas_impl == "pallas" or (
+        cfg.costas_impl == "auto"
+        and jax.default_backend() == "tpu"
+        and len(batch) == 1 and batch[0] % 128 == 0)
+
+    if _use_tm_path(cfg, batch, fsz, nframes, use_pallas):
+        from qpsk_tpu.ops.pallas import costas_kernel
+        from qpsk_tpu.ops.pallas.frontend_kernel import rx_frontend_fused_tm
+        zr, zi, index, nco_phase, fir_tail, decim_delay = \
+            rx_frontend_fused_tm(cfg, pcm, state.nco_phase, state.fir_tail,
+                                 state.decim_delay)
+        cstate, derot_tm, freq_frames = costas_kernel.costas_run_pallas_tm(
+            state.costas, zr, zi, params, gear=gear, trace_every=nsf)
+        # (T, C) -> (C, T): a layout view the slicer/output consumers fuse
+        derot = CF32(derot_tm.re.T, derot_tm.im.T)
+        return _rx_stream_emit(cfg, state, derot, freq_frames, index,
+                               cstate, nco_phase, fir_tail, decim_delay,
+                               state.timing, state.agc, state.eq,
+                               batch, nframes, nsf)
 
     timing_state = state.timing
     if _use_fused_frontend(cfg, batch, fsz, nframes):
@@ -459,23 +499,32 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
 
     symbols = CF32(delayed.re.reshape(batch + (nframes * nsf,)),
                    delayed.im.reshape(batch + (nframes * nsf,)))
-    params = costas_ops.costas_params(cfg.loop_bw, cfg.damping,
-                                      cfg.min_freq, cfg.max_freq)
-    use_pallas = cfg.costas_impl == "pallas" or (
-        cfg.costas_impl == "auto"
-        and jax.default_backend() == "tpu"
-        and len(batch) == 1 and batch[0] % 128 == 0)
-    gear = _gear_for(cfg)
     if use_pallas:
         from qpsk_tpu.ops.pallas import costas_kernel
-        cstate, derot, freq_trace = costas_kernel.costas_run_pallas_traced(
-            state.costas, symbols, params, gear=gear)
+        # block-rate freq trace: only the frame-boundary values the
+        # readback consumes are ever written (trace_every=nsf)
+        cstate, derot, freq_frames = costas_kernel.costas_run_pallas_traced(
+            state.costas, symbols, params, gear=gear, trace_every=nsf)
     elif gear is not None:
         cstate, derot, freq_trace = costas_ops.costas_run_gear_traced(
             state.costas, symbols, params, gear, unroll=8)
+        freq_frames = freq_trace.reshape(batch + (nframes, nsf))[..., -1]
     else:
         cstate, derot, freq_trace = costas_ops.costas_run_traced(
             state.costas, symbols, params, unroll=8)
+        freq_frames = freq_trace.reshape(batch + (nframes, nsf))[..., -1]
+    return _rx_stream_emit(cfg, state, derot, freq_frames, index, cstate,
+                           nco_phase, fir_tail, decim_delay, timing_state,
+                           agc_state, eq_state, batch, nframes, nsf)
+
+
+def _rx_stream_emit(cfg: ModemConfig, state: RxState, derot: CF32,
+                    freq_frames: jnp.ndarray, index: jnp.ndarray,
+                    cstate, nco_phase, fir_tail, decim_delay,
+                    timing_state, agc_state, eq_state,
+                    batch, nframes: int, nsf: int):
+    """Shared back half of the fused RX lowerings: slice bits, assemble
+    RxOut (freq readback per frame boundary, qpsk.c:217), thread state."""
     diff_prev = state.diff_prev
     if cfg.differential:
         bits, diff_prev = differential.diff_decode_symbols(derot, diff_prev)
@@ -483,15 +532,11 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
         bits = modmap.demod_bits(derot)
     else:
         bits = modmap.demod_bits_reference(derot)
-
-    # frame-boundary frequency readback (qpsk.c:217): loop freq after the
-    # last symbol of each frame
-    ftr = freq_trace.reshape(batch + (nframes, nsf))[..., -1]
     out = RxOut(
         symbols=CF32(derot.re.reshape(batch + (nframes, nsf)),
                      derot.im.reshape(batch + (nframes, nsf))),
         bits=bits.reshape(batch + (nframes, 2 * nsf)),
-        freq_hz=costas_ops.freq_to_hz(ftr, cfg.rs),
+        freq_hz=costas_ops.freq_to_hz(freq_frames, cfg.rs),
         timing_index=index)
     new_state = state._replace(fir_tail=fir_tail, nco_phase=nco_phase,
                                costas=cstate, decim_delay=decim_delay,

@@ -35,7 +35,8 @@ from qpsk_tpu.ops.costas import CostasGear, CostasParams, CostasState, TAU
 from qpsk_tpu.ops.cplx import CF32
 
 
-def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int):
+def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
+            trace_blocks: bool):
     # ref layout (gear fields only when gear=True):
     #   inputs:  phase0, freq0, [lev0, locked0]
     #   outputs: out_re, out_im, freq_trace, phase_out, freq_out,
@@ -119,7 +120,9 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int):
         phase = jnp.where(phase < -tau, phase + tau, phase)
         phase = jnp.where(phase < -tau, phase + tau, phase)
         freq = jnp.clip(freq, min_freq, max_freq)
-        ft_ref[pl.ds(t * sg, sg), :] = freq  # post-update trace (qpsk.c:217)
+        if not trace_blocks:
+            # post-update trace (qpsk.c:217), one row block per symbol
+            ft_ref[pl.ds(t * sg, sg), :] = freq
         scr[0][:] = phase
         scr[1][:] = freq
         return carry
@@ -138,6 +141,13 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int):
 
     jax.lax.fori_loop(0, tt // u, step_u, 0, unroll=1)
 
+    if trace_blocks:
+        # block-rate trace: ONE (sg, LT) row per time tile — the loop freq
+        # after the tile's last symbol (what the frame-rate readback
+        # consumes) — instead of a full per-symbol plane.  Cuts the trace
+        # HBM write by tt x and drops a VMEM store from the serial loop.
+        ft_ref[0, :, :] = scr[1][:]
+
     @pl.when(j == nj - 1)
     def _():
         for s_ref, out_ref in zip(scr, outs[3:]):
@@ -145,13 +155,16 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int):
 
 
 @functools.partial(jax.jit, static_argnames=("sg", "lt", "tt", "gear",
-                                             "interpret"))
+                                             "trace_blocks", "interpret"))
 def _costas_pallas_tc(zr, zi, state0, params_vec,
                       sg: int, lt: int, tt: int, gear: bool = False,
+                      trace_blocks: bool = False,
                       interpret: bool = False):
     """Time-major kernel launch: zr/zi are (T*sg, C/sg) — each time step's
     C channels folded into sg sublane rows of L = C/sg lanes; state0 =
-    tuple of (sg, L) state planes (phase, freq[, lev, locked])."""
+    tuple of (sg, L) state planes (phase, freq[, lev, locked]).  With
+    ``trace_blocks`` the freq trace comes back at time-tile rate,
+    ((T/tt)*sg, L), instead of per symbol."""
     tsg, ll = zr.shape
     t = tsg // sg
     grid = (ll // lt, t // tt)
@@ -161,20 +174,30 @@ def _costas_pallas_tc(zr, zi, state0, params_vec,
                               memory_space=pltpu.VMEM)
     block_spec = pl.BlockSpec((tt * sg, lt), lambda i, j: (j, i),
                               memory_space=pltpu.VMEM)
+    if trace_blocks:
+        # 3D (T/tt, sg, L) so the (1, sg, lt) block's sublane dim equals
+        # the array dim (sg < 8 would otherwise violate the 8-row rule)
+        trace_spec = pl.BlockSpec((1, sg, lt), lambda i, j: (j, 0, i),
+                                  memory_space=pltpu.VMEM)
+        trace_shape = jax.ShapeDtypeStruct((t // tt, sg, ll), jnp.float32)
+    else:
+        trace_spec = block_spec
+        trace_shape = jax.ShapeDtypeStruct((tsg, ll), jnp.float32)
 
     out_shapes = (
         jax.ShapeDtypeStruct((tsg, ll), jnp.float32),   # out re
         jax.ShapeDtypeStruct((tsg, ll), jnp.float32),   # out im
-        jax.ShapeDtypeStruct((tsg, ll), jnp.float32),   # freq trace
+        trace_shape,                                     # freq trace
     ) + (jax.ShapeDtypeStruct((sg, ll), jnp.float32),) * ns   # final state
     return pl.pallas_call(
-        functools.partial(_kernel, gear=gear, sg=sg),
+        functools.partial(_kernel, gear=gear, sg=sg,
+                          trace_blocks=trace_blocks),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # params (4,) / (9,)
             block_spec, block_spec,                   # z planes
         ] + [state_spec] * ns,                        # initial state
-        out_specs=(block_spec, block_spec, block_spec)
+        out_specs=(block_spec, block_spec, trace_spec)
         + (state_spec,) * ns,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((sg, lt), jnp.float32)] * ns,
@@ -221,15 +244,32 @@ def costas_run_pallas(state: CostasState, symbols: CF32,
     return st, out
 
 
-def costas_run_pallas_traced(state: CostasState, symbols: CF32,
-                             params: CostasParams,
-                             gear: CostasGear | None = None,
-                             interpret: bool = False):
-    """Pallas twin of ``costas_run_traced`` / ``costas_run_gear_traced``:
-    also returns the per-symbol post-update frequency trace (rad/symbol)."""
-    c, t = symbols.re.shape
+def costas_run_pallas_tm(state: CostasState, zr_tm: jnp.ndarray,
+                         zi_tm: jnp.ndarray, params: CostasParams,
+                         gear: CostasGear | None = None,
+                         trace_every: int | None = None,
+                         interpret: bool = False):
+    """Time-major entry: consumes (T, C) symbol planes DIRECTLY (the layout
+    the fused front-end kernel emits, ops/pallas/frontend_kernel.py
+    ``rx_frontend_fused_tm``) — the (C, T) transpose fold of
+    ``costas_run_pallas`` never materializes.  The sublane fold
+    (T, C) -> (T*sg, C/sg) is a contiguous row split, i.e. free.
+
+    Returns ``(new_state, derot_tm CF32 (T, C), ftrace)`` where ``ftrace``
+    is (C, T) per-symbol when ``trace_every`` is None, else
+    (C, T // trace_every) — the post-update loop frequency after symbols
+    ``k*trace_every - 1`` (the frame-boundary readback of qpsk.c:217) with
+    the per-symbol trace plane never written to HBM."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    t, c = zr_tm.shape
     assert c % 128 == 0, f"channel count {c} must be a multiple of 128"
     sg, lt, tt = _pick_tiles(c, t)
+    if trace_every is not None:
+        assert t % trace_every == 0, (t, trace_every)
+        # time tiles must land on trace boundaries so each boundary freq is
+        # some tile's last-step freq
+        while trace_every % tt:
+            tt //= 2
     ll = c // sg
     base = [params.alpha, params.beta, params.min_freq, params.max_freq]
     if gear is not None:
@@ -241,15 +281,20 @@ def costas_run_pallas_traced(state: CostasState, symbols: CF32,
     else:
         params_vec = jnp.stack(base)
         state0 = (state.phase, state.freq)
-    # fold channels onto sublanes: (C, T) -> (T, C) -> (T*sg, C/sg), with
-    # channel ch = s*L + l on sublane-group s, lane l (plain reshapes; the
-    # state planes fold with the same bijection)
-    zr = symbols.re.T.reshape(t * sg, ll)
-    zi = symbols.im.T.reshape(t * sg, ll)
+    zr = zr_tm.reshape(t * sg, ll)
+    zi = zi_tm.reshape(t * sg, ll)
     state0 = tuple(p.reshape(sg, ll) for p in state0)
     out = _costas_pallas_tc(zr, zi, state0, params_vec, sg=sg, lt=lt, tt=tt,
-                            gear=gear is not None, interpret=interpret)
-    outr, outi, ftrace = (a.reshape(t, c).T for a in out[:3])
+                            gear=gear is not None,
+                            trace_blocks=trace_every is not None,
+                            interpret=interpret)
+    outr, outi = (a.reshape(t, c) for a in out[:2])
+    if trace_every is None:
+        ftrace = out[2].reshape(t, c).T
+    else:
+        step = trace_every // tt
+        # (T/tt, sg, L) -> (T/tt, C) rides the state fold bijection
+        ftrace = out[2].reshape(t // tt, c)[step - 1::step].T
     fin = [p.reshape(c) for p in out[3:]]
     if gear is not None:
         new_state = CostasState(phase=fin[0], freq=fin[1],
@@ -257,3 +302,21 @@ def costas_run_pallas_traced(state: CostasState, symbols: CF32,
     else:
         new_state = CostasState(phase=fin[0], freq=fin[1])
     return new_state, CF32(outr, outi), ftrace
+
+
+def costas_run_pallas_traced(state: CostasState, symbols: CF32,
+                             params: CostasParams,
+                             gear: CostasGear | None = None,
+                             trace_every: int | None = None,
+                             interpret: bool = False):
+    """Pallas twin of ``costas_run_traced`` / ``costas_run_gear_traced``:
+    also returns the post-update frequency trace (rad/symbol) — per symbol
+    (C, T), or (C, T // trace_every) when ``trace_every`` is set (see
+    ``costas_run_pallas_tm``)."""
+    c, t = symbols.re.shape
+    # fold channels onto sublanes: (C, T) -> (T, C) [-> (T*sg, C/sg) inside,
+    # a free reshape], with channel ch = s*L + l on sublane-group s, lane l
+    new_state, derot_tm, ftrace = costas_run_pallas_tm(
+        state, symbols.re.T, symbols.im.T, params, gear=gear,
+        trace_every=trace_every, interpret=interpret)
+    return new_state, CF32(derot_tm.re.T, derot_tm.im.T), ftrace

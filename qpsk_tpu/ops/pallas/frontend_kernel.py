@@ -61,9 +61,13 @@ _HALO = 128
 
 
 def _kernel(base_r_ref, base_i_ref, tre_ref, tim_ref, wtab_ref,
-            phase0_ref, tail_ref, body_ref, pr_ref, pi_ref,
-            idx_ref, halo_s, *, gain: float, pcm_scale: float, cycles: int,
-            g: int, omega: float):
+            phase0_ref, tail_ref, *refs, gain: float, pcm_scale: float,
+            cycles: int, g: int, omega: float, tm_delay: bool):
+    if tm_delay:
+        (ddin_r_ref, ddin_i_ref, body_ref, pr_ref, pi_ref, idx_ref,
+         ddout_r_ref, ddout_i_ref, halo_s, dly_r_s, dly_i_s) = refs
+    else:
+        body_ref, pr_ref, pi_ref, idx_ref, halo_s = refs
     j = pl.program_id(1)
     b = body_ref.shape[1]
     ct = body_ref.shape[0]
@@ -159,8 +163,32 @@ def _kernel(base_r_ref, base_i_ref, tre_ref, tim_ref, wtab_ref,
     fi = cr * wi + ci * wr
     gr = fr * rotr - fi * roti
     gi = fr * roti + fi * rotr
-    pr_ref[:, :] = pr * gr - pi * gi
-    pi_ref[:, :] = pr * gi + pi * gr
+    outr = pr * gr - pi * gi
+    outi = pr * gi + pi * gr
+    if tm_delay:
+        # g == 1 here (one modem frame per grid block), so the one-frame
+        # decimation delay (qpsk.c:182-191) means THIS block's delayed
+        # output is entirely the PREVIOUS block's picks: carry them in
+        # VMEM scratch (cross-call boundary block 0 reads the carried
+        # decim_delay input), and emit TIME-MAJOR — the in-kernel (CT,
+        # nsym) -> (nsym, CT) transpose makes the output plane exactly the
+        # layout the fused Costas kernel consumes, so the host-side delay
+        # concat AND the (C, T) fold transpose both disappear.
+        prev_r = jnp.where(j == 0, ddin_r_ref[:, :], dly_r_s[:, :])
+        prev_i = jnp.where(j == 0, ddin_i_ref[:, :], dly_i_s[:, :])
+        pr_ref[:, :] = prev_r.T
+        pi_ref[:, :] = prev_i.T
+        dly_r_s[:, :] = outr
+        dly_i_s[:, :] = outi
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            # the stream's final picks become the next call's decim_delay
+            ddout_r_ref[:, :] = outr
+            ddout_i_ref[:, :] = outi
+    else:
+        pr_ref[:, :] = outr
+        pi_ref[:, :] = outi
     # the selected phase per frame, already resolved by the first-wins
     # one-hot above, in the first g lanes (zero-padded to the 128-lane
     # Mosaic block granule) — the host just slices and casts, instead of
@@ -234,7 +262,7 @@ def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
     body_spec = pl.BlockSpec((ct, block), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, gain=gain, pcm_scale=pcm_scale,
-                             cycles=cycles, g=g, omega=omega)
+                             cycles=cycles, g=g, omega=omega, tm_delay=False)
     gnsym = block // cycles
     tmat_spec = pl.BlockSpec((block // cw, cw + _HALO, cw),
                              lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM)
@@ -271,6 +299,78 @@ def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
     )(bases_r, bases_i, tre, tim, wtab, phase0, tail_raw, pcm)
     idx = idxf.reshape(c, nb, 128)[..., :g].astype(jnp.int32)
     return pr, pi, idx.reshape(c, nb * g)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("taps_key", "block", "ct", "gain", "pcm_scale",
+                              "cycles", "omega", "cw", "interpret"))
+def _frontend_2d_tm(pcm, tail_raw, phase0, dd_r, dd_i, taps_key, block: int,
+                    ct: int, gain: float, pcm_scale: float, cycles: int,
+                    omega: float, cw: int, interpret: bool = False):
+    """tm_delay launch (g == 1): emits the one-frame-DELAYED picks
+    TIME-MAJOR as (T, C) planes — the exact input layout of the fused
+    Costas kernel — plus the stream-final picks as the next decim_delay.
+    """
+    c, n = pcm.shape
+    nb = n // block
+    nsym = block // cycles
+    t = n // cycles
+    tre_np, tim_np, wtab_np = _tables(taps_key, block, omega, cycles, cw)
+    tre = jnp.asarray(tre_np)
+    tim = jnp.asarray(tim_np)
+    wtab = jnp.asarray(wtab_np)
+    bases_np = _bases(omega, nb, block)
+    bases_r = jnp.asarray(bases_np[:, 0])
+    bases_i = jnp.asarray(bases_np[:, 1])
+
+    grid = (c // ct, nb)
+    body_spec = pl.BlockSpec((ct, block), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel, gain=gain, pcm_scale=pcm_scale,
+                             cycles=cycles, g=1, omega=omega, tm_delay=True)
+    tmat_spec = pl.BlockSpec((block // cw, cw + _HALO, cw),
+                             lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM)
+    dd_spec = pl.BlockSpec((ct, nsym), lambda i, j: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_shape = (jax.ShapeDtypeStruct((t, c), jnp.float32),
+                 jax.ShapeDtypeStruct((t, c), jnp.float32),
+                 jax.ShapeDtypeStruct((c, nb * 128), jnp.float32),
+                 jax.ShapeDtypeStruct((c, nsym), jnp.float32),
+                 jax.ShapeDtypeStruct((c, nsym), jnp.float32))
+    zr, zi, idxf, ndd_r, ndd_i = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tmat_spec,
+            tmat_spec,
+            pl.BlockSpec((2, nsym), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 2), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, _HALO), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            dd_spec, dd_spec,
+            body_spec,
+        ],
+        out_specs=(
+            pl.BlockSpec((nsym, ct), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nsym, ct), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 128), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            dd_spec, dd_spec,
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((ct, _HALO), jnp.float32),
+                        pltpu.VMEM((ct, nsym), jnp.float32),
+                        pltpu.VMEM((ct, nsym), jnp.float32)],
+        interpret=interpret,
+    )(bases_r, bases_i, tre, tim, wtab, phase0, tail_raw, dd_r, dd_i, pcm)
+    idx = idxf.reshape(c, nb, 128)[..., :1].astype(jnp.int32)
+    return zr, zi, idx.reshape(c, nb), ndd_r, ndd_i
 
 
 def _group(cfg, fsz: int) -> int:
@@ -382,3 +482,74 @@ def rx_frontend_fused(cfg, pcm: jnp.ndarray, nco_phase: CF32,
     new_phase = fe.advance_phase(nco_phase, omega, n)
     new_tail = fe.remix_tail(flat_in, nco_phase, omega, ntaps_m1)
     return picks, idx, new_phase, new_tail
+
+
+def frontend_tm_supported(cfg, batch_shape, fsz: int,
+                          nframes: int | None = None) -> bool:
+    """Whether the time-major + in-kernel-delay launch covers this
+    configuration: the base kernel support, PLUS one whole frame per grid
+    block (g == 1, i.e. >= 128 symbols/frame) and a 128-multiple channel
+    count (the fused Costas consumer's lane requirement — no channel
+    padding, the emitted (T, C) plane feeds it as-is)."""
+    nsym = fsz // max(cfg.cycles, 1)
+    return (frontend_supported(cfg, batch_shape, fsz, nframes)
+            and nsym >= 128
+            and batch_shape[0] % 128 == 0)
+
+
+def rx_frontend_fused_tm(cfg, pcm: jnp.ndarray, nco_phase: CF32,
+                         fir_tail: CF32, decim_delay: CF32,
+                         interpret: bool = False):
+    """Fused front-end INCLUDING the one-frame decimation delay, emitting
+    time-major symbol planes.
+
+    Covers the whole pre-Costas slice of ``_rx_stream_fused``: the
+    returned ``(zr_tm, zi_tm)`` are the one-frame-DELAYED rotated picks as
+    (T, C) planes — exactly what ``costas_run_pallas_tm`` consumes — so
+    the host-side delay concat and the (C, T) fold transpose both vanish
+    from the RX hot path.  Values are bit-identical to
+    ``rx_frontend_fused`` + the host delay concat (same stores, no new
+    arithmetic; the in-kernel transpose moves data, not bits).
+
+    Returns ``(zr_tm, zi_tm, index (C, nframes) int32, new_nco_phase,
+    new_fir_tail, new_decim_delay)``.  Requires
+    ``frontend_tm_supported(...)``.
+    """
+    from qpsk_tpu.modem import taps_for
+    from qpsk_tpu.ops import frontend as fe
+
+    interpret = interpret or jax.default_backend() != "tpu"
+    c, nframes, fsz = pcm.shape
+    nsym = fsz // cfg.cycles
+    assert c % 128 == 0 and nsym >= 128 and nsym % 128 == 0, (c, nsym)
+    n = nframes * fsz
+    omega = float(-cfg.omega_center)
+    ntaps_m1 = cfg.ntaps - 1
+    flat = pcm.reshape(c, n)
+
+    raw_tail = fe.unmix_tail(fir_tail, nco_phase, omega)
+    pad = jnp.zeros((c, _HALO - ntaps_m1), jnp.float32)
+    tail128 = jnp.concatenate([pad, raw_tail], axis=1)
+    phase0 = jnp.stack([nco_phase.re, nco_phase.im], axis=1)
+
+    ct = 128
+    while ct * 2 <= min(c, 256) and c % (ct * 2) == 0:
+        ct *= 2
+    taps_key = tuple(np.asarray(taps_for(cfg)).tolist())
+    block = fsz
+    if block % 256 == 0 and 256 % cfg.cycles == 0:
+        cw = 256
+    elif block % 128 == 0 and 128 % cfg.cycles == 0:
+        cw = 128
+    else:
+        cw = block
+    zr, zi, idx, ndd_r, ndd_i = _frontend_2d_tm(
+        flat, tail128, phase0, decim_delay.re, decim_delay.im, taps_key,
+        block=block, ct=ct, gain=float(cfg.gain),
+        pcm_scale=float(cfg.pcm_scale), cycles=cfg.cycles, omega=omega,
+        cw=cw, interpret=interpret)
+
+    flat_in = flat.astype(jnp.float32) / jnp.float32(cfg.pcm_scale)
+    new_phase = fe.advance_phase(nco_phase, omega, n)
+    new_tail = fe.remix_tail(flat_in, nco_phase, omega, ntaps_m1)
+    return zr, zi, idx, new_phase, new_tail, CF32(ndd_r, ndd_i)

@@ -1,0 +1,178 @@
+"""The zero-glue RX fast path (round 3): front-end kernel emits one-frame-
+delayed TIME-MAJOR picks straight into the fused Costas kernel
+(rx_frontend_fused_tm -> costas_run_pallas_tm), with the freq trace at
+block rate.  Everything here must be BIT-exact against the composed
+non-tm path — the tm mode moves data, not bits."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qpsk_tpu import ModemConfig, rx_init
+from qpsk_tpu.ops.costas import costas_init, costas_params, gear_for
+from qpsk_tpu.ops.cplx import CF32
+from qpsk_tpu.ops.pallas.costas_kernel import (costas_run_pallas_tm,
+                                               costas_run_pallas_traced)
+from qpsk_tpu.ops.pallas.frontend_kernel import (frontend_tm_supported,
+                                                 rx_frontend_fused,
+                                                 rx_frontend_fused_tm)
+
+CFG = ModemConfig()
+
+
+def _pcm(c, nframes, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.integers(-12000, 12000,
+                                    (c, nframes, CFG.frame_size),
+                                    dtype=np.int16))
+
+
+def test_frontend_tm_matches_host_delay_fold():
+    """tm emission == kernel picks + host delay concat + (C,T) fold,
+    bit-exact, including the carried decim_delay."""
+    c, nframes = 128, 4
+    assert frontend_tm_supported(CFG, (c,), CFG.frame_size, nframes)
+    pcm = _pcm(c, nframes, seed=1)
+    st = rx_init(CFG, batch_shape=(c,))
+    nsym = CFG.symbols_per_frame
+    rng = np.random.default_rng(2)
+    dd = CF32(jnp.asarray(rng.normal(size=(c, nsym)), jnp.float32),
+              jnp.asarray(rng.normal(size=(c, nsym)), jnp.float32))
+
+    zr, zi, idx_tm, ph_tm, tl_tm, ndd = rx_frontend_fused_tm(
+        CFG, pcm, st.nco_phase, st.fir_tail, dd, interpret=True)
+
+    picks, idx, ph, tl = rx_frontend_fused(
+        CFG, pcm, st.nco_phase, st.fir_tail, interpret=True)
+    delayed_re = np.concatenate([np.asarray(dd.re)[:, None],
+                                 np.asarray(picks.re)[:, :-1]], axis=1)
+    delayed_im = np.concatenate([np.asarray(dd.im)[:, None],
+                                 np.asarray(picks.im)[:, :-1]], axis=1)
+    t = nframes * nsym
+    np.testing.assert_array_equal(np.asarray(zr),
+                                  delayed_re.reshape(c, t).T)
+    np.testing.assert_array_equal(np.asarray(zi),
+                                  delayed_im.reshape(c, t).T)
+    np.testing.assert_array_equal(np.asarray(ndd.re),
+                                  np.asarray(picks.re)[:, -1])
+    np.testing.assert_array_equal(np.asarray(ndd.im),
+                                  np.asarray(picks.im)[:, -1])
+    np.testing.assert_array_equal(np.asarray(idx_tm), np.asarray(idx))
+    np.testing.assert_array_equal(np.asarray(ph_tm.re), np.asarray(ph.re))
+    np.testing.assert_array_equal(np.asarray(tl_tm.re), np.asarray(tl.re))
+
+
+def test_frontend_tm_chains_across_calls():
+    """Two chained tm calls == one tm call over the concatenation: the
+    in-kernel delay scratch hands off through decim_delay (indices exact;
+    picks to the carried-phasor re-association tolerance of the existing
+    non-tm chain test)."""
+    c = 128
+    pcm = _pcm(c, 6, seed=3)
+    st = rx_init(CFG, batch_shape=(c,))
+    dd0 = CF32(st.decim_delay.re, st.decim_delay.im)
+
+    z1r, z1i, i1, ph1, tl1, dd1 = rx_frontend_fused_tm(
+        CFG, pcm[:, :3], st.nco_phase, st.fir_tail, dd0, interpret=True)
+    z2r, z2i, i2, _, _, dd2 = rx_frontend_fused_tm(
+        CFG, pcm[:, 3:], ph1, tl1, dd1, interpret=True)
+
+    zr, zi, idx, _, _, dd = rx_frontend_fused_tm(
+        CFG, pcm, st.nco_phase, st.fir_tail, dd0, interpret=True)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(z1r), np.asarray(z2r)]), np.asarray(zr),
+        atol=3e-4)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(z1i), np.asarray(z2i)]), np.asarray(zi),
+        atol=3e-4)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(i1), np.asarray(i2)], axis=1),
+        np.asarray(idx))
+    np.testing.assert_allclose(np.asarray(dd2.re), np.asarray(dd.re),
+                               atol=3e-4)
+
+
+def test_costas_trace_every_matches_per_symbol():
+    """trace_every returns exactly the frame-boundary values of the
+    per-symbol trace, and derot/state are bit-identical between the two
+    kernel modes (trace_blocks changes stores, not arithmetic) — plain
+    and gear-shift loops."""
+    c, t, nsf = 128, 512, 128
+    rng = np.random.default_rng(4)
+    sym = CF32(jnp.asarray(rng.normal(size=(c, t)), jnp.float32),
+               jnp.asarray(rng.normal(size=(c, t)), jnp.float32))
+    params = costas_params(loop_bw=2.0 * np.pi / 100.0)
+    for gear in (None, gear_for(2.0 * np.pi / 200.0, np.sqrt(0.5))):
+        st = costas_init(batch_shape=(c,), gear=gear is not None)
+        s_a, d_a, tr_a = costas_run_pallas_traced(st, sym, params, gear=gear,
+                                                  interpret=True)
+        s_b, d_b, tr_b = costas_run_pallas_traced(st, sym, params, gear=gear,
+                                                  trace_every=nsf,
+                                                  interpret=True)
+        np.testing.assert_array_equal(np.asarray(d_a.re), np.asarray(d_b.re))
+        np.testing.assert_array_equal(np.asarray(d_a.im), np.asarray(d_b.im))
+        np.testing.assert_array_equal(np.asarray(s_a.freq),
+                                      np.asarray(s_b.freq))
+        np.testing.assert_array_equal(np.asarray(s_a.phase),
+                                      np.asarray(s_b.phase))
+        want = np.asarray(tr_a).reshape(c, t // nsf, nsf)[..., -1]
+        np.testing.assert_array_equal(np.asarray(tr_b), want)
+
+
+def test_costas_tm_entry_matches_channel_major():
+    """costas_run_pallas_tm on (T, C) planes == costas_run_pallas_traced
+    on the (C, T) symbols, bit-exact."""
+    c, t = 128, 256
+    rng = np.random.default_rng(5)
+    sym = CF32(jnp.asarray(rng.normal(size=(c, t)), jnp.float32),
+               jnp.asarray(rng.normal(size=(c, t)), jnp.float32))
+    params = costas_params(loop_bw=2.0 * np.pi / 100.0)
+    st = costas_init(batch_shape=(c,))
+    s_a, d_a, tr_a = costas_run_pallas_traced(st, sym, params,
+                                              interpret=True)
+    s_b, d_b, tr_b = costas_run_pallas_tm(st, sym.re.T, sym.im.T, params,
+                                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(d_a.re),
+                                  np.asarray(d_b.re).T)
+    np.testing.assert_array_equal(np.asarray(d_a.im),
+                                  np.asarray(d_b.im).T)
+    np.testing.assert_array_equal(np.asarray(s_a.freq), np.asarray(s_b.freq))
+    np.testing.assert_array_equal(np.asarray(tr_a), np.asarray(tr_b))
+
+
+def test_rx_stream_tm_path_bit_exact(monkeypatch):
+    """rx_stream through the tm fast path == the composed non-tm path
+    (kernel front-end + host delay/fold + Costas kernel), bit-for-bit:
+    same bits, same symbols, same freq readback, same carried state."""
+    from qpsk_tpu import modem as modem_mod
+    from qpsk_tpu.modem import rx_stream
+
+    cfg = dataclasses.replace(CFG, frontend_impl="pallas",
+                              costas_impl="pallas")
+    c, nframes = 128, 8
+    pcm = _pcm(c, nframes, seed=6)
+    st = rx_init(cfg, batch_shape=(c,))
+
+    assert modem_mod._use_tm_path(cfg, (c,), cfg.frame_size, nframes, True)
+    st_tm, out_tm = rx_stream(cfg, st, pcm)
+
+    monkeypatch.setattr(modem_mod, "_use_tm_path",
+                        lambda *a, **k: False)
+    st_nt, out_nt = rx_stream(cfg, st, pcm)
+
+    np.testing.assert_array_equal(np.asarray(out_tm.bits),
+                                  np.asarray(out_nt.bits))
+    np.testing.assert_array_equal(np.asarray(out_tm.symbols.re),
+                                  np.asarray(out_nt.symbols.re))
+    np.testing.assert_array_equal(np.asarray(out_tm.freq_hz),
+                                  np.asarray(out_nt.freq_hz))
+    np.testing.assert_array_equal(np.asarray(out_tm.timing_index),
+                                  np.asarray(out_nt.timing_index))
+    np.testing.assert_array_equal(np.asarray(st_tm.decim_delay.re),
+                                  np.asarray(st_nt.decim_delay.re))
+    np.testing.assert_array_equal(np.asarray(st_tm.costas.phase),
+                                  np.asarray(st_nt.costas.phase))
+    np.testing.assert_array_equal(np.asarray(st_tm.fir_tail.re),
+                                  np.asarray(st_nt.fir_tail.re))
