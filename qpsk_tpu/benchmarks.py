@@ -128,7 +128,9 @@ def rx_throughput(channels: int | None = None, frames: int | None = None,
     cfg = cfg or ModemConfig()
     ndev = len(jax.devices())
     platform = jax.devices()[0].platform
-    channels = channels or (2048 if platform == "tpu" else 16)
+    # 4096 channels is the measured v5e aggregate peak (26.0 vs 25.6 GS/s
+    # at 2048; 8192 regresses — docs/ROUND3_NOTES.md)
+    channels = channels or (4096 if platform == "tpu" else 16)
     frames = frames or (16 if platform == "tpu" else 4)
     iters = iters or (60 if platform == "tpu" else 3)
     # inner: chained steps per dispatch.  A single relayed-executable launch
@@ -355,10 +357,14 @@ def fec_throughput(kind: str = "conv", packets: int | None = None,
 def single_stream_serial_throughput(frames: int | None = None,
                                     iters: int | None = None,
                                     inner: int | None = None) -> dict:
-    """Serial single-stream demod rate: ONE channel, the Costas recurrence
-    scanned symbol by symbol — the rate a lone stream gets without
+    """Single-stream demod rate: ONE channel, the Costas recurrence still
+    strictly sequential — the rate a lone stream gets without
     block-parallelism (the serialization SURVEY.md §7 names hard-part #1;
-    cf. the per-symbol loop qpsk.c:196-212)."""
+    cf. the per-symbol loop qpsk.c:196-212).  On TPU the stream rides the
+    fused kernels on a zero-padded 128-lane channel batch
+    (modem._rx_stream_fused_padded): the kernel's ~0.12 us/step replaces
+    the scan's ~1.7 us/step overhead — 2.3 -> 25.2 MS/s measured on v5e,
+    decode bit-compatible (tools/check_single_stream_tpu.py)."""
     from qpsk_tpu import ModemConfig, rx_init
     from qpsk_tpu.modem import rx_stream
 

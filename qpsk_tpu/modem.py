@@ -408,11 +408,50 @@ def _use_tm_path(cfg: ModemConfig, batch, fsz: int, nframes: int,
             and frontend_tm_supported(cfg, batch, fsz, nframes))
 
 
+def _rx_stream_fused_padded(cfg: ModemConfig, state: RxState,
+                            pcm: jnp.ndarray):
+    """A lone stream (or any non-128-multiple channel batch) rides the
+    fused kernels by zero-padding the channel axis to the lane granule:
+    the ``lax.scan`` Costas lowering pays ~1.7 us of per-step overhead
+    per symbol (CLAUDE.md) while the kernel pays ~0.12 us/step regardless
+    of how many of its 128 lanes are live — a single real-time receiver
+    chain gets ~10x from riding dead lanes.  The kernel is bit-exact per
+    channel, so the live channels' outputs equal the scan's; dead-channel
+    outputs (zeros in, garbage out) are sliced away, and the padded
+    nco phasors are unit (zeros would NaN through cnormalize).  A
+    channel-less stream ((nframes, frame_size) PCM, batch == ()) gets a
+    singleton channel axis first and is squeezed back on the way out."""
+    squeeze = pcm.ndim == 2
+    if squeeze:
+        pcm = pcm[None]
+        state = jax.tree.map(lambda x: x[None], state)
+    c = pcm.shape[0]
+    cpad = (-c) % 128
+
+    def pad(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((cpad,) + x.shape[1:], x.dtype)])
+
+    state_p = jax.tree.map(pad, state)
+    state_p = state_p._replace(nco_phase=CF32(
+        jnp.concatenate([state.nco_phase.re, jnp.ones((cpad,), jnp.float32)]),
+        jnp.concatenate([state.nco_phase.im,
+                         jnp.zeros((cpad,), jnp.float32)])))
+    new_p, out_p = _rx_stream_fused(cfg, state_p, pad(pcm))
+    unpad = (lambda x: x[0]) if squeeze else (lambda x: x[:c])
+    return jax.tree.map(unpad, new_p), jax.tree.map(unpad, out_p)
+
+
 def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     batch = pcm.shape[:-2]
     nframes, fsz = pcm.shape[-2], pcm.shape[-1]
     nsf = cfg.symbols_per_frame
     n = nframes * fsz
+
+    if (cfg.costas_impl == "auto" and jax.default_backend() == "tpu"
+            and (len(batch) == 0
+                 or (len(batch) == 1 and batch[0] % 128 != 0))):
+        return _rx_stream_fused_padded(cfg, state, pcm)
 
     params = costas_ops.costas_params(cfg.loop_bw, cfg.damping,
                                       cfg.min_freq, cfg.max_freq)

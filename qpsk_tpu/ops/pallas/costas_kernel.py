@@ -267,7 +267,11 @@ def costas_run_pallas_tm(state: CostasState, zr_tm: jnp.ndarray,
     if trace_every is not None:
         assert t % trace_every == 0, (t, trace_every)
         # time tiles must land on trace boundaries so each boundary freq is
-        # some tile's last-step freq
+        # some tile's last-step freq.  Cap at trace_every FIRST: halving
+        # alone cannot shed odd factors of t (e.g. t = 5120 = 5*1024 gives
+        # tt = 640, which no halving maps onto trace_every = 128), and any
+        # tt | trace_every also divides t.
+        tt = min(tt, trace_every)
         while trace_every % tt:
             tt //= 2
     ll = c // sg

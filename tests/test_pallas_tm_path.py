@@ -99,12 +99,15 @@ def test_costas_trace_every_matches_per_symbol():
     per-symbol trace, and derot/state are bit-identical between the two
     kernel modes (trace_blocks changes stores, not arithmetic) — plain
     and gear-shift loops."""
-    c, t, nsf = 128, 512, 128
+    # t = 640 = 5 * 128 regression-pins the tile pick: halving tt alone
+    # cannot shed the odd factor, it must first cap at trace_every
+    c, nsf = 128, 128
     rng = np.random.default_rng(4)
-    sym = CF32(jnp.asarray(rng.normal(size=(c, t)), jnp.float32),
-               jnp.asarray(rng.normal(size=(c, t)), jnp.float32))
     params = costas_params(loop_bw=2.0 * np.pi / 100.0)
-    for gear in (None, gear_for(2.0 * np.pi / 200.0, np.sqrt(0.5))):
+    for t, gear in ((512, None), (640, None),
+                    (512, gear_for(2.0 * np.pi / 200.0, np.sqrt(0.5)))):
+        sym = CF32(jnp.asarray(rng.normal(size=(c, t)), jnp.float32),
+                   jnp.asarray(rng.normal(size=(c, t)), jnp.float32))
         st = costas_init(batch_shape=(c,), gear=gear is not None)
         s_a, d_a, tr_a = costas_run_pallas_traced(st, sym, params, gear=gear,
                                                   interpret=True)
@@ -176,3 +179,68 @@ def test_rx_stream_tm_path_bit_exact(monkeypatch):
                                   np.asarray(st_nt.costas.phase))
     np.testing.assert_array_equal(np.asarray(st_tm.fir_tail.re),
                                   np.asarray(st_nt.fir_tail.re))
+
+
+def test_rx_stream_padded_matches_unpadded():
+    """The channel-padding upgrade (_rx_stream_fused_padded) is value-
+    transparent: live channels' outputs and state equal the unpadded
+    call's exactly, for both the XLA lowering and the (forced, interpret)
+    Pallas-Costas lowering."""
+    from qpsk_tpu import modem as modem_mod
+    from qpsk_tpu.modem import rx_stream
+
+    c, nframes = 5, 8
+    rng = np.random.default_rng(7)
+    pcm = jnp.asarray(rng.integers(-12000, 12000,
+                                   (c, nframes, CFG.frame_size),
+                                   dtype=np.int16))
+    for cfg in (CFG, dataclasses.replace(CFG, costas_impl="pallas")):
+        st = rx_init(cfg, batch_shape=(c,))
+        st_p, out_p = modem_mod._rx_stream_fused_padded(cfg, st, pcm)
+        # reference: same lowering, unpadded (for the pallas cfg the
+        # unpadded call would assert on c%128, so compare against the
+        # default scan path instead — the kernel is bit-exact vs it)
+        ref_cfg = CFG
+        st_r, out_r = rx_stream(ref_cfg, rx_init(ref_cfg, batch_shape=(c,)),
+                                pcm)
+        # XLA picks different matmul reduction orders for different batch
+        # shapes, so floats agree to tolerance, not bitwise; the decoded
+        # bits must still match exactly here
+        np.testing.assert_array_equal(np.asarray(out_p.bits),
+                                      np.asarray(out_r.bits))
+        np.testing.assert_allclose(np.asarray(out_p.symbols.re),
+                                   np.asarray(out_r.symbols.re), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out_p.freq_hz),
+                                   np.asarray(out_r.freq_hz), atol=0.1)
+        np.testing.assert_allclose(np.asarray(st_p.costas.phase),
+                                   np.asarray(st_r.costas.phase), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(st_p.decim_delay.re),
+                                   np.asarray(st_r.decim_delay.re),
+                                   atol=1e-3)
+        assert out_p.bits.shape[0] == c
+
+
+def test_rx_stream_padded_channel_less_stream():
+    """A channel-less (nframes, frame_size) stream through the padding
+    wrapper decodes identically to the plain lowering and keeps its
+    channel-less shapes."""
+    from qpsk_tpu import modem as modem_mod
+    from qpsk_tpu.modem import rx_stream
+
+    nframes = 8
+    rng = np.random.default_rng(8)
+    pcm = jnp.asarray(rng.integers(-12000, 12000,
+                                   (nframes, CFG.frame_size),
+                                   dtype=np.int16))
+    st = rx_init(CFG)
+    st_p, out_p = modem_mod._rx_stream_fused_padded(CFG, st, pcm)
+    st_r, out_r = rx_stream(CFG, rx_init(CFG), pcm)
+    assert out_p.bits.shape == out_r.bits.shape == (nframes,
+                                                    2 * CFG.symbols_per_frame)
+    np.testing.assert_array_equal(np.asarray(out_p.bits),
+                                  np.asarray(out_r.bits))
+    np.testing.assert_allclose(np.asarray(out_p.symbols.re),
+                               np.asarray(out_r.symbols.re), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(st_p.costas.phase),
+                               np.asarray(st_r.costas.phase), atol=1e-3)
+    assert np.asarray(st_p.nco_phase.re).shape == ()
