@@ -13,8 +13,8 @@ Measurement discipline (matters on tunneled/remote TPU backends):
 * iterations chain the state pytree so XLA cannot overlap them.
 
 Measured on one TPU v5e chip (2026-08-19, docs/bench_suite_v5e.jsonl):
-**25.7 Gsamples/s** aggregate RX at 2048 channels (26.0 at 4096) —
-~2060x the 12.5 MS/s per-chip share of the BASELINE 100 MS/s v5e-8
+**28.7 Gsamples/s** aggregate RX at 4096 channels (25.9 at 2048) —
+~2300x the 12.5 MS/s per-chip share of the BASELINE 100 MS/s v5e-8
 target.  The fused mix-free Pallas front-end kernel runs 43.1 GS/s
 standalone (chunked Toeplitz + scratch halo + modulated taps,
 ops/pallas/frontend_kernel.py; 44.1 at 4096 ch — linear in channels) vs
@@ -25,9 +25,11 @@ overhead, so wider channel batches amortize it).  Since round 3 the two
 kernels compose with ZERO host glue (the tm fast path, modem._use_tm_path):
 the front-end emits one-frame-DELAYED picks time-major straight into the
 Costas kernel — no delay concat, no (C, T) fold transpose, freq trace
-written at block rate — and the parts now predict the whole to ~4 %:
-1/43.1e9 + 1/(4*17.7e9) per sample = 26.8 GS/s vs 25.7 measured (the
-residual is the bit slicer's read of the derotated planes).  Two things
+written at block rate — and the Costas kernel slices the constellation
+in-line, emitting hard bits as PACKED dibit words (0.25 B/symbol): the
+composed path is HBM-bandwidth-bound (~550 GB/s sustained), and killing
+the slicer's 8 B/symbol derot re-read bought the last +10 % at 4096
+channels.  Two things
 matter equally: the fused rx_stream path and amortizing the relayed
 backend's ~1.8 ms per-launch cost over an in-jit fori_loop of chained
 steps — per-call timing measures the tunnel, not the chip (a null

@@ -467,14 +467,21 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
         zr, zi, index, nco_phase, fir_tail, decim_delay = \
             rx_frontend_fused_tm(cfg, pcm, state.nco_phase, state.fir_tail,
                                  state.decim_delay)
-        cstate, derot_tm, freq_frames = costas_kernel.costas_run_pallas_tm(
-            state.costas, zr, zi, params, gear=gear, trace_every=nsf)
+        # the kernel also slices the diagonal constellation in-line
+        # (packed dibits, 0.25 B/symbol): consumers that only need bits
+        # never re-read the full-rate derot planes — the composed path is
+        # HBM-bound, so this is pure bandwidth back
+        emit_bits = not cfg.differential and cfg.slicer == "diagonal"
+        cstate, derot_tm, freq_frames, bits = \
+            costas_kernel.costas_run_pallas_tm(
+                state.costas, zr, zi, params, gear=gear, trace_every=nsf,
+                emit_bits=emit_bits)
         # (T, C) -> (C, T): a layout view the slicer/output consumers fuse
         derot = CF32(derot_tm.re.T, derot_tm.im.T)
         return _rx_stream_emit(cfg, state, derot, freq_frames, index,
                                cstate, nco_phase, fir_tail, decim_delay,
                                state.timing, state.agc, state.eq,
-                               batch, nframes, nsf)
+                               batch, nframes, nsf, bits=bits)
 
     timing_state = state.timing
     if _use_fused_frontend(cfg, batch, fsz, nframes):
@@ -561,16 +568,18 @@ def _rx_stream_emit(cfg: ModemConfig, state: RxState, derot: CF32,
                     freq_frames: jnp.ndarray, index: jnp.ndarray,
                     cstate, nco_phase, fir_tail, decim_delay,
                     timing_state, agc_state, eq_state,
-                    batch, nframes: int, nsf: int):
-    """Shared back half of the fused RX lowerings: slice bits, assemble
-    RxOut (freq readback per frame boundary, qpsk.c:217), thread state."""
+                    batch, nframes: int, nsf: int, bits=None):
+    """Shared back half of the fused RX lowerings: slice bits (unless the
+    Costas kernel already emitted them), assemble RxOut (freq readback per
+    frame boundary, qpsk.c:217), thread state."""
     diff_prev = state.diff_prev
     if cfg.differential:
         bits, diff_prev = differential.diff_decode_symbols(derot, diff_prev)
-    elif cfg.slicer == "diagonal":
-        bits = modmap.demod_bits(derot)
-    else:
-        bits = modmap.demod_bits_reference(derot)
+    elif bits is None:
+        if cfg.slicer == "diagonal":
+            bits = modmap.demod_bits(derot)
+        else:
+            bits = modmap.demod_bits_reference(derot)
     out = RxOut(
         symbols=CF32(derot.re.reshape(batch + (nframes, nsf)),
                      derot.im.reshape(batch + (nframes, nsf))),

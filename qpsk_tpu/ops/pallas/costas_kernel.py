@@ -36,7 +36,7 @@ from qpsk_tpu.ops.cplx import CF32
 
 
 def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
-            trace_blocks: bool):
+            trace_blocks: bool, emit_bits: bool):
     # ref layout (gear fields only when gear=True):
     #   inputs:  phase0, freq0, [lev0, locked0]
     #   outputs: out_re, out_im, freq_trace, phase_out, freq_out,
@@ -48,9 +48,14 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
     # 2.4x on v5e at 2048 channels; the recurrence itself stays strictly
     # sequential over time).
     ns = 4 if gear else 2
+    nouts = ns + 3 + (1 if emit_bits else 0)
     ins, rest = refs[:ns], refs[ns:]
-    outs, scr = rest[:ns + 3], rest[ns + 3:]
+    outs, scr = rest[:nouts], rest[nouts:]
     or_ref, oi_ref, ft_ref = outs[0], outs[1], outs[2]
+    if emit_bits:
+        pk_ref = outs[3 + ns]     # (tt//16, sg, LT) packed dibits (last out)
+        pk_s = scr[-1]            # (sg, LT) int32 accumulator
+        scr = scr[:-1]
 
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -84,15 +89,32 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
         outi = zi * c - zr * s
         or_ref[pl.ds(t * sg, sg), :] = outr
         oi_ref[pl.ds(t * sg, sg), :] = outi
-        if gear:
-            # re-read the STORED derotation so the errn path consumes the
-            # very bits the output (and the scan twin) sees: XLA otherwise
+        if gear or emit_bits:
+            # re-read the STORED derotation so downstream consumers (the
+            # gear errn path, the packed-bit signs) see the very bits the
+            # output (and the scan twin + XLA slicer) sees: XLA otherwise
             # duplicates the outr/outi computation into separate fusions
-            # whose multiply-adds FMA-contract differently — a 1-ULP lev
+            # whose multiply-adds FMA-contract differently — a 1-ULP
             # drift vs the scan (the store/load round-trips through the
             # ref, which fusion cannot fold; see costas_step_gear)
             outr = or_ref[pl.ds(t * sg, sg), :]
             outi = oi_ref[pl.ds(t * sg, sg), :]
+        if emit_bits:
+            # diagonal slicer in-kernel (modmap.demod_bits: b1 = im < 0,
+            # b0 = re < 0, stream order [b1, b0]), packed 16 symbols per
+            # int32 lane: pair_t at bit 2*(t%16) with b1 in the LOW bit —
+            # the XLA-side unpack never re-reads the derot planes, which
+            # on the HBM-bound composed path was the slicer's whole cost
+            pair = (jnp.where(outi < 0.0, 1, 0)
+                    + 2 * jnp.where(outr < 0.0, 1, 0)).astype(jnp.int32)
+            jm = jax.lax.rem(t, 16)
+            shifted = jax.lax.shift_left(pair, (2 * jm).astype(jnp.int32))
+            acc = jnp.where(jm == 0, shifted, pk_s[:, :] + shifted)
+            pk_s[:, :] = acc
+
+            @pl.when(jm == 15)
+            def _(t=t):
+                pk_ref[t // 16, :, :] = pk_s[:, :]
         # decision-directed error (costas_loop.c:44-47)
         sr = jnp.where(outr > 0.0, 1.0, -1.0).astype(jnp.float32)
         si = jnp.where(outi > 0.0, 1.0, -1.0).astype(jnp.float32)
@@ -155,10 +177,11 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
 
 
 @functools.partial(jax.jit, static_argnames=("sg", "lt", "tt", "gear",
-                                             "trace_blocks", "interpret"))
+                                             "trace_blocks", "emit_bits",
+                                             "interpret"))
 def _costas_pallas_tc(zr, zi, state0, params_vec,
                       sg: int, lt: int, tt: int, gear: bool = False,
-                      trace_blocks: bool = False,
+                      trace_blocks: bool = False, emit_bits: bool = False,
                       interpret: bool = False):
     """Time-major kernel launch: zr/zi are (T*sg, C/sg) — each time step's
     C channels folded into sg sublane rows of L = C/sg lanes; state0 =
@@ -189,18 +212,27 @@ def _costas_pallas_tc(zr, zi, state0, params_vec,
         jax.ShapeDtypeStruct((tsg, ll), jnp.float32),   # out im
         trace_shape,                                     # freq trace
     ) + (jax.ShapeDtypeStruct((sg, ll), jnp.float32),) * ns   # final state
+    out_specs = (block_spec, block_spec, trace_spec) + (state_spec,) * ns
+    scratch = [pltpu.VMEM((sg, lt), jnp.float32)] * ns
+    if emit_bits:
+        assert tt % 16 == 0, tt
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((t // 16, sg, ll), jnp.int32),)
+        out_specs = out_specs + (
+            pl.BlockSpec((tt // 16, sg, lt), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),)
+        scratch = scratch + [pltpu.VMEM((sg, lt), jnp.int32)]
     return pl.pallas_call(
         functools.partial(_kernel, gear=gear, sg=sg,
-                          trace_blocks=trace_blocks),
+                          trace_blocks=trace_blocks, emit_bits=emit_bits),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # params (4,) / (9,)
             block_spec, block_spec,                   # z planes
         ] + [state_spec] * ns,                        # initial state
-        out_specs=(block_spec, block_spec, trace_spec)
-        + (state_spec,) * ns,
+        out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((sg, lt), jnp.float32)] * ns,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(params_vec, zr, zi, *state0)
 
@@ -244,10 +276,25 @@ def costas_run_pallas(state: CostasState, symbols: CF32,
     return st, out
 
 
+def unpack_bits_tm(packed: jnp.ndarray, t: int, c: int) -> jnp.ndarray:
+    """(T//16, C) int32 packed dibits -> (C, 2*T) int32 bit stream, the
+    exact layout of ``modmap.demod_bits`` on the (C, T) derot symbols.
+    Pure elementwise shifts + reshapes: fuses into whatever consumes the
+    bits, so the full-rate derot planes are never re-read for slicing.
+    int32 right shifts are arithmetic — always mask after shifting."""
+    w = packed[:, None, :]                               # (T/16, 1, C)
+    j = jnp.arange(16, dtype=jnp.int32)[None, :, None]
+    b1 = (w >> (2 * j)) & 1                              # (T/16, 16, C)
+    b0 = (w >> (2 * j + 1)) & 1
+    bits = jnp.stack([b1, b0], axis=2)                   # (T/16, 16, 2, C)
+    return bits.reshape(2 * t, c).T                      # (C, 2T)
+
+
 def costas_run_pallas_tm(state: CostasState, zr_tm: jnp.ndarray,
                          zi_tm: jnp.ndarray, params: CostasParams,
                          gear: CostasGear | None = None,
                          trace_every: int | None = None,
+                         emit_bits: bool = False,
                          interpret: bool = False):
     """Time-major entry: consumes (T, C) symbol planes DIRECTLY (the layout
     the fused front-end kernel emits, ops/pallas/frontend_kernel.py
@@ -255,11 +302,16 @@ def costas_run_pallas_tm(state: CostasState, zr_tm: jnp.ndarray,
     ``costas_run_pallas`` never materializes.  The sublane fold
     (T, C) -> (T*sg, C/sg) is a contiguous row split, i.e. free.
 
-    Returns ``(new_state, derot_tm CF32 (T, C), ftrace)`` where ``ftrace``
-    is (C, T) per-symbol when ``trace_every`` is None, else
+    Returns ``(new_state, derot_tm CF32 (T, C), ftrace, bits)`` where
+    ``ftrace`` is (C, T) per-symbol when ``trace_every`` is None, else
     (C, T // trace_every) — the post-update loop frequency after symbols
     ``k*trace_every - 1`` (the frame-boundary readback of qpsk.c:217) with
-    the per-symbol trace plane never written to HBM."""
+    the per-symbol trace plane never written to HBM.  With ``emit_bits``
+    the kernel also slices the diagonal constellation in-line and ``bits``
+    is the (C, 2T) hard-bit stream (== ``modmap.demod_bits`` on the derot
+    symbols, bit-for-bit) whose consumers read 0.25 B/symbol of packed
+    words instead of 8 B/symbol of derot planes; otherwise ``bits`` is
+    None."""
     interpret = interpret or jax.default_backend() != "tpu"
     t, c = zr_tm.shape
     assert c % 128 == 0, f"channel count {c} must be a multiple of 128"
@@ -285,12 +337,15 @@ def costas_run_pallas_tm(state: CostasState, zr_tm: jnp.ndarray,
     else:
         params_vec = jnp.stack(base)
         state0 = (state.phase, state.freq)
+    if emit_bits and tt % 16 != 0:
+        emit_bits = False        # geometry can't pack; caller slices derot
     zr = zr_tm.reshape(t * sg, ll)
     zi = zi_tm.reshape(t * sg, ll)
     state0 = tuple(p.reshape(sg, ll) for p in state0)
     out = _costas_pallas_tc(zr, zi, state0, params_vec, sg=sg, lt=lt, tt=tt,
                             gear=gear is not None,
                             trace_blocks=trace_every is not None,
+                            emit_bits=emit_bits,
                             interpret=interpret)
     outr, outi = (a.reshape(t, c) for a in out[:2])
     if trace_every is None:
@@ -299,13 +354,17 @@ def costas_run_pallas_tm(state: CostasState, zr_tm: jnp.ndarray,
         step = trace_every // tt
         # (T/tt, sg, L) -> (T/tt, C) rides the state fold bijection
         ftrace = out[2].reshape(t // tt, c)[step - 1::step].T
-    fin = [p.reshape(c) for p in out[3:]]
+    ns = 4 if gear is not None else 2
+    fin = [p.reshape(c) for p in out[3:3 + ns]]
+    bits = None
+    if emit_bits:
+        bits = unpack_bits_tm(out[3 + ns].reshape(t // 16, c), t, c)
     if gear is not None:
         new_state = CostasState(phase=fin[0], freq=fin[1],
                                 lev=fin[2], locked=fin[3])
     else:
         new_state = CostasState(phase=fin[0], freq=fin[1])
-    return new_state, CF32(outr, outi), ftrace
+    return new_state, CF32(outr, outi), ftrace, bits
 
 
 def costas_run_pallas_traced(state: CostasState, symbols: CF32,
@@ -320,7 +379,7 @@ def costas_run_pallas_traced(state: CostasState, symbols: CF32,
     c, t = symbols.re.shape
     # fold channels onto sublanes: (C, T) -> (T, C) [-> (T*sg, C/sg) inside,
     # a free reshape], with channel ch = s*L + l on sublane-group s, lane l
-    new_state, derot_tm, ftrace = costas_run_pallas_tm(
+    new_state, derot_tm, ftrace, _ = costas_run_pallas_tm(
         state, symbols.re.T, symbols.im.T, params, gear=gear,
         trace_every=trace_every, interpret=interpret)
     return new_state, CF32(derot_tm.re.T, derot_tm.im.T), ftrace

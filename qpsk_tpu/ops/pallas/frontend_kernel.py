@@ -192,7 +192,10 @@ def _kernel(base_r_ref, base_i_ref, tre_ref, tim_ref, wtab_ref,
     # the selected phase per frame, already resolved by the first-wins
     # one-hot above, in the first g lanes (zero-padded to the 128-lane
     # Mosaic block granule) — the host just slices and casts, instead of
-    # re-reading a full energy vector and argmaxing it
+    # re-reading a full energy vector and argmaxing it.  (Accumulating
+    # the per-block index into lane j of a write-once scratch — 128x less
+    # idx HBM — measured 1% SLOWER: the full-width select+add per block
+    # costs more than the write it saves.  Don't retry.)
     idx_ref[:, :] = jnp.concatenate(
         [idxf, jnp.zeros((ct, 128 - g), jnp.float32)], axis=1)
 

@@ -135,8 +135,8 @@ def test_costas_tm_entry_matches_channel_major():
     st = costas_init(batch_shape=(c,))
     s_a, d_a, tr_a = costas_run_pallas_traced(st, sym, params,
                                               interpret=True)
-    s_b, d_b, tr_b = costas_run_pallas_tm(st, sym.re.T, sym.im.T, params,
-                                          interpret=True)
+    s_b, d_b, tr_b, _ = costas_run_pallas_tm(st, sym.re.T, sym.im.T, params,
+                                             interpret=True)
     np.testing.assert_array_equal(np.asarray(d_a.re),
                                   np.asarray(d_b.re).T)
     np.testing.assert_array_equal(np.asarray(d_a.im),
@@ -244,3 +244,23 @@ def test_rx_stream_padded_channel_less_stream():
     np.testing.assert_allclose(np.asarray(st_p.costas.phase),
                                np.asarray(st_r.costas.phase), atol=1e-3)
     assert np.asarray(st_p.nco_phase.re).shape == ()
+
+
+def test_costas_emit_bits_matches_slicer():
+    """In-kernel packed dibits == modmap.demod_bits on the derot symbols,
+    bit-for-bit, plain and gear loops."""
+    from qpsk_tpu.ops.modmap import demod_bits
+
+    c, t = 128, 512
+    rng = np.random.default_rng(9)
+    zr = jnp.asarray(rng.normal(size=(t, c)), jnp.float32)
+    zi = jnp.asarray(rng.normal(size=(t, c)), jnp.float32)
+    params = costas_params(loop_bw=2.0 * np.pi / 100.0)
+    for gear in (None, gear_for(2.0 * np.pi / 200.0, np.sqrt(0.5))):
+        st = costas_init(batch_shape=(c,), gear=gear is not None)
+        _, derot_tm, _, bits = costas_run_pallas_tm(
+            st, zr, zi, params, gear=gear, trace_every=128,
+            emit_bits=True, interpret=True)
+        assert bits is not None and bits.shape == (c, 2 * t)
+        want = demod_bits(CF32(derot_tm.re.T, derot_tm.im.T))
+        np.testing.assert_array_equal(np.asarray(bits), np.asarray(want))
