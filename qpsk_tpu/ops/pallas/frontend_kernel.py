@@ -111,9 +111,13 @@ def _kernel(base_r_ref, base_i_ref, tre_ref, tim_ref, wtab_ref,
         chunks_i.append(
             jnp.dot(xw, tim_ref[k], preferred_element_type=jnp.float32)
             * gn)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, gnsym), 1)
-    masks = [jnp.where((lane >= f * nsym) & (lane < (f + 1) * nsym),
-                       1.0, 0.0).astype(jnp.float32) for f in range(g)]
+    # g == 1 (one frame per block, the 2400-baud default): every per-frame
+    # mask is all-ones — elide the mask multiplies entirely (identity in
+    # f32, so bit-exact) in the energy sums and the selection below
+    if g > 1:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, gnsym), 1)
+        masks = [jnp.where((lane >= f * nsym) & (lane < (f + 1) * nsym),
+                           1.0, 0.0).astype(jnp.float32) for f in range(g)]
     yrs, yis, es = [], [], []
     for p in range(cycles):
         yr = jnp.concatenate(
@@ -123,9 +127,12 @@ def _kernel(base_r_ref, base_i_ref, tre_ref, tim_ref, wtab_ref,
         yrs.append(yr)                                   # (CT, g*nsym)
         yis.append(yi)
         e = yr * yr + yi * yi
-        es.append(jnp.concatenate(
-            [jnp.sum(e * masks[f], axis=1, keepdims=True)
-             for f in range(g)], axis=1))                # (CT, g)
+        if g == 1:
+            es.append(jnp.sum(e, axis=1, keepdims=True))
+        else:
+            es.append(jnp.concatenate(
+                [jnp.sum(e * masks[f], axis=1, keepdims=True)
+                 for f in range(g)], axis=1))            # (CT, g)
 
     # first-wins argmax over the per-(frame, phase) energies
     # (timing_power), in f32 arithmetic (no sub-128-lane int ops);
@@ -145,9 +152,12 @@ def _kernel(base_r_ref, base_i_ref, tre_ref, tim_ref, wtab_ref,
         s = jnp.where(es[p] >= emax, 1.0, 0.0) * (1.0 - taken)  # (CT, g)
         taken = taken + s
         idxf = idxf + jnp.float32(p) * s
-        sx = masks[0] * s[:, 0:1]                        # (CT, g*nsym)
-        for f in range(1, g):
-            sx = sx + masks[f] * s[:, f:f + 1]
+        if g == 1:
+            sx = s                                       # broadcast (CT, 1)
+        else:
+            sx = masks[0] * s[:, 0:1]                    # (CT, g*nsym)
+            for f in range(1, g):
+                sx = sx + masks[f] * s[:, f:f + 1]
         pr = pr + sx * yrs[p]
         pi = pi + sx * yis[p]
         rotr = rotr + sx * jnp.float32(np.cos(pang[p]))
