@@ -234,7 +234,98 @@ def cmd_tx(args) -> int:
     return 0
 
 
+def _cmd_rx_stream(args) -> int:
+    """Push-mode decode (the 24/7 receiver surface): read raw int16 PCM
+    from a file or stdin in chunks, push through ``StreamDemodulator``
+    (automatic sync, CRC tracking, optional squelch), print one hex
+    payload line per CRC-good packet AS IT DECODES, and a final
+    counters JSON line to stderr."""
+    import jax.numpy as jnp
+
+    from qpsk_tpu.runtime import StreamDemodulator
+
+    cfg = _cfg(args)
+    pcfg = _pcfg(args)
+    if args.infile.endswith(".wav"):
+        print("error: --stream reads raw int16 (headerless); convert WAV "
+              "first or use the one-shot rx", file=sys.stderr)
+        return 2
+    sr = int(args.io_rate or cfg.fs)
+    rs = None
+    if sr != int(cfg.fs):
+        from qpsk_tpu.ops.resample import (rational_ratio, resample_init,
+                                           resample_stream)
+        try:
+            l, m = rational_ratio(sr, cfg.fs)
+        except ValueError:
+            print(f"error: cannot resample {sr} -> {int(cfg.fs)} S/s "
+                  "(not a small rational ratio)", file=sys.stderr)
+            return 2
+        rs = {"l": l, "m": m, "state": resample_init(l, m),
+              "buf": np.zeros(0, np.float32)}
+
+    demod = StreamDemodulator(cfg, pcfg, squelch_db=args.squelch_db)
+    src = sys.stdin.buffer if args.infile == "-" else open(args.infile, "rb")
+    npkts = nok = 0
+
+    from qpsk_tpu.packet.bits import np_bits_to_bytes
+
+    def emit(pkts) -> None:
+        nonlocal npkts, nok
+        for p in pkts:
+            npkts += 1
+            if p.crc_ok:
+                nok += 1
+                print(np_bits_to_bytes(np.asarray(p.payload)).tobytes()
+                      .hex(), flush=True)
+
+    def convert(pcm16: np.ndarray, last: bool = False) -> np.ndarray:
+        """Device-rate capture -> modem rate, streaming (whole M-groups
+        per call; the remainder carries to the next chunk)."""
+        if rs is None:
+            return pcm16
+        rs["buf"] = np.concatenate([rs["buf"],
+                                    pcm16.astype(np.float32)])
+        n = rs["buf"].size - (rs["buf"].size % rs["m"])
+        if last and rs["buf"].size % rs["m"]:
+            pad = rs["m"] - rs["buf"].size % rs["m"]
+            rs["buf"] = np.concatenate([rs["buf"],
+                                        np.zeros(pad, np.float32)])
+            n = rs["buf"].size
+        if n == 0:
+            return np.zeros(0, np.int16)
+        y, rs["state"] = resample_stream(jnp.asarray(rs["buf"][:n]),
+                                         rs["state"], rs["l"], rs["m"])
+        rs["buf"] = rs["buf"][n:]
+        return np.clip(np.rint(np.asarray(y)), -32768, 32767).astype(
+            np.int16)
+
+    try:
+        while True:
+            buf = src.read(2 * args.chunk)
+            if not buf:
+                break
+            emit(demod.push(convert(np.frombuffer(buf, dtype="<i2"))))
+        emit(demod.push(convert(np.zeros(0, np.int16), last=True)))
+        emit(demod.flush())
+    finally:
+        if src is not sys.stdin.buffer:
+            src.close()
+    c = demod.counters
+    print(json.dumps({
+        "frames": c.frames, "packets": npkts, "crc_ok": nok,
+        "crc_failures": c.crc_failures, "resyncs": c.resyncs,
+        "synced": c.synced,
+        "detected_offset_hz": round(c.detected_offset_hz, 2),
+        "carrier_snr_db": round(c.carrier_snr_db, 2),
+        "carrier_detect": c.carrier_detect,
+    }), file=sys.stderr)
+    return 0
+
+
 def cmd_rx(args) -> int:
+    if args.stream:
+        return _cmd_rx_stream(args)
     import jax.numpy as jnp
 
     from qpsk_tpu import rx_init
@@ -408,10 +499,21 @@ def main(argv=None) -> int:
 
     rx = sub.add_parser("rx", help="demodulate an int16 PCM file")
     _add_common(rx)
-    rx.add_argument("infile", type=str)
+    rx.add_argument("infile", type=str,
+                    help="int16 PCM file ('-' = stdin with --stream)")
     rx.add_argument("--io-rate", type=float, default=0.0,
                     help="device sample rate of the input (raw files; WAV "
                          "carries its own): resampled to the modem rate")
+    rx.add_argument("--stream", action="store_true",
+                    help="push-mode decode (StreamDemodulator): read in "
+                         "chunks, print one hex payload line per CRC-good "
+                         "packet as it decodes, counters JSON to stderr")
+    rx.add_argument("--squelch-db", type=float, default=None,
+                    help="--stream carrier-detect squelch threshold (dB "
+                         "blind SNR): dead-air bits are discarded, not "
+                         "hunted")
+    rx.add_argument("--chunk", type=int, default=32768,
+                    help="--stream read size in int16 samples")
     rx.set_defaults(fn=cmd_rx)
 
     def _sweep(a) -> int:

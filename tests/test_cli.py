@@ -50,3 +50,57 @@ def test_bench_suite_record(capsys):
     (rec,) = _run(capsys, ["bench", "--suite", "serial"])
     assert rec["metric"] == "single_stream_serial_throughput"
     assert rec["value"] > 0
+
+
+def test_rx_stream_mode(tmp_path, capsys):
+    """rx --stream: push-mode decode of a spool file — hex payload lines
+    on stdout, counters JSON on stderr, payloads match the tx bytes."""
+    spool = str(tmp_path / "s.raw")
+    _run(capsys, ["tx", "--frames", "30", "--seed", "5", "--out", spool])
+    rc = cli.main(["rx", spool, "--stream", "--chunk", "3000"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    lines = cap.out.strip().splitlines()
+    counters = json.loads(cap.err.strip().splitlines()[-1])
+    assert counters["crc_ok"] == len(lines) >= 18
+    assert counters["synced"] and counters["crc_failures"] <= 4
+    assert abs(counters["detected_offset_hz"] - 50.0) < 5.0
+    # payloads are the tx generator's bytes (tx --seed 5 payload stream)
+    from qpsk_tpu.packet.bits import np_bits_to_bytes
+    rng = np.random.default_rng(5)
+    tx_bits = rng.integers(0, 2, (30, 240), dtype=np.int32)
+    wanted = {np_bits_to_bytes(b).tobytes().hex() for b in tx_bits}
+    assert all(ln in wanted for ln in lines)
+
+
+def test_rx_stream_squelch_and_io_rate(tmp_path, capsys):
+    """rx --stream with dead air + --squelch-db drops the noise and still
+    decodes the burst; --io-rate exercises the chunked resampler."""
+    spool = str(tmp_path / "s.raw")
+    _run(capsys, ["tx", "--frames", "35", "--seed", "6", "--out", spool])
+    pcm = np.fromfile(spool, np.int16)
+    rng = np.random.default_rng(0)
+    noise = rng.normal(0, 600.0, 20 * 512).astype(np.int16)
+    mixed = str(tmp_path / "m.raw")
+    np.concatenate([noise, pcm]).tofile(mixed)
+    rc = cli.main(["rx", mixed, "--stream", "--squelch-db", "5"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    counters = json.loads(cap.err.strip().splitlines()[-1])
+    # the squelch re-arms the post-onset transient skip, so the hunt
+    # starts ~8 frames into the burst
+    assert counters["crc_ok"] >= 18, counters
+    assert counters["carrier_detect"]
+
+    # 48 kHz capture of the same burst, streaming-resampled to 9600
+    from qpsk_tpu.ops.resample import resample_pcm
+    import jax.numpy as jnp
+    hi = str(tmp_path / "hi.raw")
+    np.asarray(resample_pcm(jnp.asarray(pcm), 9600, 48000)).astype(
+        np.int16).tofile(hi)
+    rc = cli.main(["rx", hi, "--stream", "--io-rate", "48000",
+                   "--chunk", "9600"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    counters = json.loads(cap.err.strip().splitlines()[-1])
+    assert counters["crc_ok"] >= 18, counters
