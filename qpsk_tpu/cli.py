@@ -202,7 +202,75 @@ def _scatter_png(path: str, symbols, skip: int) -> None:
     plt.close(fig)
 
 
+def _cmd_tx_stream(args) -> int:
+    """Push-mode modulator (the TX twin of ``rx --stream``): read hex
+    payload lines (payload_bytes each) from a file or stdin, modulate
+    through ``StreamModulator`` (filter/NCO state carried across lines),
+    and write raw int16 PCM to ``--out`` ('-' = stdout) as it goes —
+    ``qpsk_tpu tx --stream-in - | qpsk_tpu rx - --stream`` is a live
+    duplex pipe."""
+    from qpsk_tpu.packet.bits import np_bytes_to_bits
+    from qpsk_tpu.runtime import StreamModulator
+
+    cfg = _cfg(args)
+    pcfg = _pcfg(args)
+    mod = StreamModulator(cfg, pcfg, tx_offset_hz=args.offset_hz)
+    rate = int(args.io_rate or cfg.fs)
+    rs = None
+    if rate != int(cfg.fs):
+        from qpsk_tpu.ops.resample import (rational_ratio, resample_init,
+                                           resample_stream)
+        try:
+            l, m = rational_ratio(cfg.fs, rate)
+        except ValueError:
+            print(f"error: cannot resample {int(cfg.fs)} -> {rate} S/s "
+                  "(not a small rational ratio)", file=sys.stderr)
+            return 2
+        rs = {"l": l, "m": m, "state": resample_init(l, m)}
+    src = sys.stdin if args.stream_in == "-" else open(args.stream_in)
+    sink = (sys.stdout.buffer if args.out == "-"
+            else open(args.out, "wb"))
+    npkts = nsamp = 0
+    try:
+        for line in src:
+            line = line.strip()
+            if not line:
+                continue
+            data = bytes.fromhex(line)
+            if len(data) != pcfg.payload_bytes:
+                print(f"error: payload line has {len(data)} bytes, "
+                      f"expected {pcfg.payload_bytes}", file=sys.stderr)
+                return 2
+            pcm = mod.push(np_bytes_to_bits(np.frombuffer(data, np.uint8)))
+            if rs is not None:
+                import jax.numpy as jnp
+                # modem frames are M-aligned for small ratios; pad any
+                # remainder with silence (one-line latency, not drift)
+                pad = (-pcm.size) % rs["m"]
+                x = np.concatenate([pcm.astype(np.float32),
+                                    np.zeros(pad, np.float32)])
+                y, rs["state"] = resample_stream(jnp.asarray(x),
+                                                 rs["state"], rs["l"],
+                                                 rs["m"])
+                pcm = np.clip(np.rint(np.asarray(y)), -32768,
+                              32767).astype(np.int16)
+            sink.write(pcm.tobytes())
+            sink.flush()
+            npkts += 1
+            nsamp += pcm.size
+    finally:
+        if src is not sys.stdin:
+            src.close()
+        if sink is not sys.stdout.buffer:
+            sink.close()
+    print(json.dumps({"packets": npkts, "samples": nsamp,
+                      "sample_rate": rate}), file=sys.stderr)
+    return 0
+
+
 def cmd_tx(args) -> int:
+    if args.stream_in is not None:
+        return _cmd_tx_stream(args)
     import jax.numpy as jnp
 
     from qpsk_tpu import tx_init
@@ -490,7 +558,13 @@ def main(argv=None) -> int:
 
     tx = sub.add_parser("tx", help="modulate packets to an int16 PCM file")
     _add_common(tx)
-    tx.add_argument("--out", type=str, default="/tmp/qpsk_tpu_spool.raw")
+    tx.add_argument("--out", type=str, default="/tmp/qpsk_tpu_spool.raw",
+                    help="output PCM path ('-' = stdout with --stream-in)")
+    tx.add_argument("--stream-in", type=str, default=None,
+                    help="push-mode modulation: read hex payload lines "
+                         "(payload_bytes each) from this file ('-' = "
+                         "stdin) and write raw int16 PCM to --out as "
+                         "they arrive (filter/NCO state carried)")
     tx.add_argument("--io-rate", type=float, default=0.0,
                     help="device sample rate (e.g. 48000): write PCM at "
                          "this rate via the polyphase resampler (0 = modem "

@@ -104,3 +104,28 @@ def test_rx_stream_squelch_and_io_rate(tmp_path, capsys):
     assert rc == 0
     counters = json.loads(cap.err.strip().splitlines()[-1])
     assert counters["crc_ok"] >= 18, counters
+
+
+def test_tx_stream_rx_stream_duplex(tmp_path, capsys):
+    """tx --stream-in (hex payload lines -> PCM) into rx --stream (PCM ->
+    hex payload lines): the duplex pipe round-trips byte-exact."""
+    rng = np.random.default_rng(11)
+    payloads = [rng.integers(0, 256, 30, dtype=np.uint8).tobytes().hex()
+                for _ in range(30)]
+    pfile = str(tmp_path / "p.hex")
+    with open(pfile, "w") as f:
+        f.write("\n".join(payloads) + "\n")
+    spool = str(tmp_path / "s.raw")
+    rc = cli.main(["tx", "--stream-in", pfile, "--out", spool])
+    cap = capsys.readouterr()
+    assert rc == 0
+    import json as _json
+    txc = _json.loads(cap.err.strip().splitlines()[-1])
+    assert txc["packets"] == 30
+
+    rc = cli.main(["rx", spool, "--stream"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    got = cap.out.strip().splitlines()
+    assert len(got) >= 20
+    assert all(g in set(payloads) for g in got)
