@@ -233,6 +233,52 @@ def frontend_throughput(impl: str = "pallas", channels: int | None = None,
     return rec
 
 
+def fdm_throughput(nslots: int | None = None, frames: int | None = None,
+                   iters: int | None = None, inner: int | None = None) -> dict:
+    """Full wideband receive rate: polyphase-DFT analysis filterbank
+    (``fdm_demux_stream``) + the batched modem RX over every subchannel,
+    in WIDEBAND samples/second (the rate the antenna-side stream runs
+    at).  The subchannel axis rides the modem's ordinary channel batch
+    (nchan = nslots/2 - 1 real slots)."""
+    from qpsk_tpu import ModemConfig, rx_init
+    from qpsk_tpu.fdm import FdmConfig, fdm_demux_stream, fdm_init
+    from qpsk_tpu.modem import rx_stream
+
+    cfg = ModemConfig()
+    platform = jax.devices()[0].platform
+    # 256 slots -> 127 subchannels fill the modem's 128-lane granule
+    # (v5e: 5.3 GS/s wideband vs 1.6 at 64 slots, where 97 padded lanes
+    # ride dead)
+    nslots = nslots or (256 if platform == "tpu" else 8)
+    frames = frames or (16 if platform == "tpu" else 4)
+    iters = iters or (40 if platform == "tpu" else 2)
+    inner = inner or (8 if platform == "tpu" else 2)
+    fcfg = FdmConfig(nslots=nslots)
+    nchan = fcfg.nchan
+    nwide = nslots * frames * cfg.frame_size
+
+    wide = (jax.random.normal(jax.random.key(0), (nwide,))
+            * 8000.0).astype(jnp.int16)
+    state0 = (fdm_init(fcfg), rx_init(cfg, batch_shape=(nchan,)))
+
+    @jax.jit
+    def step(st, w):
+        def body(_, carry):
+            (fst, rst), acc = carry
+            chans, fst = fdm_demux_stream(fcfg, w, fst)
+            rst, out = rx_stream(
+                cfg, rst, chans.reshape(nchan, frames, cfg.frame_size))
+            return (fst, rst), acc + jnp.sum(out.bits)
+        return jax.lax.fori_loop(0, inner, body,
+                                 (st, jnp.zeros((), jnp.int32)))
+
+    dt = _time_chained(step, state0, wide, iters)
+    sps = nwide * inner * iters / dt
+    return {"metric": "fdm_wideband_throughput", "value": round(sps, 1),
+            "unit": "wide_samples/s", "platform": platform,
+            "nslots": nslots, "nchan": nchan}
+
+
 def costas_throughput(impl: str = "pallas", channels: int | None = None,
                       nsym: int | None = None, iters: int | None = None,
                       inner: int | None = None) -> dict:

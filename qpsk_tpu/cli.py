@@ -643,6 +643,7 @@ def main(argv=None) -> int:
                             B.fec_throughput("ldpc")],
             "serial": B.single_stream_serial_throughput,
             "blockparallel": B.single_stream_blockparallel_throughput,
+            "fdm": B.fdm_throughput,
         }
         if a.suite == "scaling":
             for rec in B.scaling_efficiency():

@@ -75,3 +75,11 @@ def test_frontend_throughput_roofline():
     cfg = ModemConfig()
     assert (frontend_cost(cfg, 128, 16, "pallas").hbm_bytes
             < 0.2 * frontend_cost(cfg, 128, 16, "xla").hbm_bytes)
+
+
+def test_fdm_throughput_record():
+    from qpsk_tpu.benchmarks import fdm_throughput
+    r = fdm_throughput(nslots=8, frames=2, iters=1, inner=1)
+    assert r["metric"] == "fdm_wideband_throughput"
+    assert r["value"] > 0 and r["nchan"] == 3
+    assert r["unit"] == "wide_samples/s"
