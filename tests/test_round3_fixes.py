@@ -108,3 +108,41 @@ def test_push_with_trailing_noise_no_eager_snr_regression():
     demod.push(pcm)
     assert np.isfinite(demod.counters.carrier_snr_db)
     assert abs(demod.counters.carrier_snr_db - 9.0) < 3.0
+
+
+def test_streaming_buffers_stay_bounded_on_endless_noise():
+    """24/7 receiver discipline: hours of un-synced noise must not grow
+    the bit/LLR/PCM buffers (the hunt trims its dead prefix; squelch
+    drops per bucket) — with and without squelch."""
+    rng = np.random.default_rng(20)
+    for squelch in (None, 5.0):
+        demod = StreamDemodulator(CFG, PCFG, squelch_db=squelch)
+        peak_bits = peak_pcm = 0
+        # bucket-aligned pushes keep the hunt's stream sizes in a small
+        # recurring set (arbitrary sizes would make this a jit-compile
+        # soak, not a buffer soak)
+        for i in range(16):
+            chunk = rng.normal(0, 600.0, 4096).astype(np.int16)
+            got = demod.push(chunk)
+            assert got == []
+            peak_bits = max(peak_bits, demod._bit_buf.size)
+            peak_pcm = max(peak_pcm, demod._pcm_buf.size)
+        # bounded by the hunt window + probe (un-squelched) or one
+        # bucket's bits (squelched); PCM by one bucket
+        limit = demod.sync_skip + 4 * PCFG.frame_bits + 64 \
+            + max(2 * PCFG.frame_bits, 600) + 2048
+        assert peak_bits <= limit, (squelch, peak_bits, limit)
+        assert peak_pcm <= 8 * CFG.frame_size, peak_pcm
+        assert demod._llr_buf.size == 0  # no FEC: LLR buffer never grows
+
+    # and a synced-then-endless-noise epoch also stays bounded (the
+    # resync_after path drops sync; the hunt then trims)
+    payload, signal = _tx(12, seed=21, snr=12.0)
+    demod = StreamDemodulator(CFG, PCFG, resync_after=4)
+    demod.push(signal)
+    peak = 0
+    for i in range(12):
+        demod.push(rng.normal(0, 600.0, 4096).astype(np.int16))
+        peak = max(peak, demod._bit_buf.size)
+    assert peak <= 8 * PCFG.frame_bits + 4 * PCFG.frame_bits + 64 \
+        + max(2 * PCFG.frame_bits, 600) + 4096, peak
