@@ -168,6 +168,10 @@ class StreamDemodulator:
         # (CLAUDE.md), so jitting on whatever nframes arrives would make
         # arbitrary-chunk push streams unusable.
         self._rx_jit = jax.jit(functools.partial(rx_stream, cfg))
+        # jitted acquisition: cold starts re-run it per bucket during
+        # squelched dead air, and the eager chain would serialize ~10
+        # blocking round trips per bucket on the relayed backend
+        self._acquire_jit = jax.jit(functools.partial(rx_acquire_hz, cfg))
 
         self._pcm_buf = np.zeros(0, np.int16)
         self._bit_buf = np.zeros(0, np.int32)
@@ -222,7 +226,7 @@ class StreamDemodulator:
             acq = 0.0
             if self.cfg.acquisition == "fft":
                 try:
-                    est = rx_acquire_hz(self.cfg, jnp.asarray(chunk))
+                    est = self._acquire_jit(jnp.asarray(chunk))
                     acq = hz_to_costas_freq(est, self.cfg.rs)
                 except ValueError:
                     pass  # chunk too short: cold-start, acquire later
