@@ -231,33 +231,58 @@ def _cmd_tx_stream(args) -> int:
     sink = (sys.stdout.buffer if args.out == "-"
             else open(args.out, "wb"))
     npkts = nsamp = 0
+    rs_buf = np.zeros(0, np.float32)
+
+    def convert_out(pcm16: np.ndarray, last: bool = False) -> np.ndarray:
+        """Modem rate -> device rate, streaming: whole M-groups per call,
+        the sub-M remainder CARRIES to the next line (padding each line
+        would insert cumulative mid-stream silence and shift the framing
+        wherever M does not divide the packet length); only the stream
+        tail pads."""
+        nonlocal rs_buf
+        if rs is None:
+            return pcm16
+        import jax.numpy as jnp
+        rs_buf = np.concatenate([rs_buf, pcm16.astype(np.float32)])
+        n = rs_buf.size - (rs_buf.size % rs["m"])
+        if last and rs_buf.size % rs["m"]:
+            rs_buf = np.concatenate(
+                [rs_buf, np.zeros(rs["m"] - rs_buf.size % rs["m"],
+                                  np.float32)])
+            n = rs_buf.size
+        if n == 0:
+            return np.zeros(0, np.int16)
+        y, rs["state"] = resample_stream(jnp.asarray(rs_buf[:n]),
+                                         rs["state"], rs["l"], rs["m"])
+        rs_buf = rs_buf[n:]
+        return np.clip(np.rint(np.asarray(y)), -32768, 32767).astype(
+            np.int16)
+
     try:
         for line in src:
             line = line.strip()
             if not line:
                 continue
-            data = bytes.fromhex(line)
+            try:
+                data = bytes.fromhex(line)
+            except ValueError:
+                print(f"error: payload line is not hex: {line[:40]!r}",
+                      file=sys.stderr)
+                return 2
             if len(data) != pcfg.payload_bytes:
                 print(f"error: payload line has {len(data)} bytes, "
                       f"expected {pcfg.payload_bytes}", file=sys.stderr)
                 return 2
-            pcm = mod.push(np_bytes_to_bits(np.frombuffer(data, np.uint8)))
-            if rs is not None:
-                import jax.numpy as jnp
-                # modem frames are M-aligned for small ratios; pad any
-                # remainder with silence (one-line latency, not drift)
-                pad = (-pcm.size) % rs["m"]
-                x = np.concatenate([pcm.astype(np.float32),
-                                    np.zeros(pad, np.float32)])
-                y, rs["state"] = resample_stream(jnp.asarray(x),
-                                                 rs["state"], rs["l"],
-                                                 rs["m"])
-                pcm = np.clip(np.rint(np.asarray(y)), -32768,
-                              32767).astype(np.int16)
+            pcm = convert_out(
+                mod.push(np_bytes_to_bits(np.frombuffer(data, np.uint8))))
             sink.write(pcm.tobytes())
             sink.flush()
             npkts += 1
             nsamp += pcm.size
+        tail = convert_out(np.zeros(0, np.int16), last=True)
+        sink.write(tail.tobytes())
+        sink.flush()
+        nsamp += tail.size
     finally:
         if src is not sys.stdin:
             src.close()
@@ -369,10 +394,17 @@ def _cmd_rx_stream(args) -> int:
             np.int16)
 
     try:
+        carry = b""
         while True:
             buf = src.read(2 * args.chunk)
             if not buf:
                 break
+            buf = carry + buf
+            # pipes/truncated captures can end (or split) mid-sample:
+            # carry the odd byte to the next read; a trailing odd byte at
+            # EOF is a dropped partial sample, not a dead receiver
+            carry = buf[len(buf) - (len(buf) % 2):]
+            buf = buf[:len(buf) - (len(buf) % 2)]
             emit(demod.push(convert(np.frombuffer(buf, dtype="<i2"))))
         emit(demod.push(convert(np.zeros(0, np.int16), last=True)))
         emit(demod.flush())
@@ -659,7 +691,8 @@ def main(argv=None) -> int:
     be = sub.add_parser("bench", help="throughput benchmark")
     be.add_argument("--suite", type=str, default="rx",
                     choices=["rx", "tx", "frontend", "costas", "fec",
-                             "serial", "blockparallel", "scaling", "all"],
+                             "serial", "blockparallel", "fdm", "scaling",
+                             "all"],
                     help="which benchmark to run (all = every throughput "
                          "suite; scaling = weak-scaling efficiency sweep)")
     be.set_defaults(fn=_bench)

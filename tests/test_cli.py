@@ -129,3 +129,62 @@ def test_tx_stream_rx_stream_duplex(tmp_path, capsys):
     got = cap.out.strip().splitlines()
     assert len(got) >= 20
     assert all(g in set(payloads) for g in got)
+
+
+def test_tx_stream_io_rate_no_mid_stream_padding(tmp_path, capsys):
+    """Review fix: tx --stream-in --io-rate carries the sub-M resampler
+    remainder across lines instead of padding each line — at 8000 S/s
+    (M=6, which does not divide the 512-sample packet) per-line padding
+    shifted the framing and decoded 0 packets."""
+    rng = np.random.default_rng(13)
+    payloads = [rng.integers(0, 256, 30, dtype=np.uint8).tobytes().hex()
+                for _ in range(30)]
+    pfile = str(tmp_path / "p.hex")
+    with open(pfile, "w") as f:
+        f.write("\n".join(payloads) + "\n")
+    spool = str(tmp_path / "s8k.raw")
+    rc = cli.main(["tx", "--stream-in", pfile, "--out", spool,
+                   "--io-rate", "8000"])
+    capsys.readouterr()
+    assert rc == 0
+    rc = cli.main(["rx", spool, "--stream", "--io-rate", "8000"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    got = cap.out.strip().splitlines()
+    assert len(got) >= 15, json.loads(cap.err.strip().splitlines()[-1])
+    assert all(g in set(payloads) for g in got)
+
+
+def test_rx_stream_survives_truncated_capture(tmp_path, capsys):
+    """Review fix: a raw capture ending mid-sample (odd byte count) drops
+    the partial sample instead of crashing the receiver."""
+    spool = str(tmp_path / "s.raw")
+    _run(capsys, ["tx", "--frames", "20", "--seed", "7", "--out", spool])
+    with open(spool, "rb") as f:
+        data = f.read()
+    trunc = str(tmp_path / "t.raw")
+    with open(trunc, "wb") as f:
+        f.write(data[:len(data) - 3])     # odd length
+    rc = cli.main(["rx", trunc, "--stream", "--chunk", "1001"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    counters = json.loads(cap.err.strip().splitlines()[-1])
+    assert counters["crc_ok"] >= 8
+
+
+def test_tx_stream_malformed_hex_line(tmp_path, capsys):
+    """Review fix: a non-hex payload line errors cleanly (rc 2), like the
+    wrong-length case."""
+    pfile = str(tmp_path / "bad.hex")
+    with open(pfile, "w") as f:
+        f.write("zz-not-hex\n")
+    rc = cli.main(["tx", "--stream-in", pfile, "--out",
+                   str(tmp_path / "o.raw")])
+    cap = capsys.readouterr()
+    assert rc == 2 and "not hex" in cap.err
+
+
+def test_bench_suite_fdm_reachable(capsys):
+    """Review fix: --suite fdm is an accepted choice."""
+    (rec,) = _run(capsys, ["bench", "--suite", "fdm"])
+    assert rec["metric"] == "fdm_wideband_throughput" and rec["value"] > 0
