@@ -150,21 +150,40 @@ def rx_throughput(channels: int | None = None, frames: int | None = None,
            * 8000.0).astype(jnp.int16)
     state = rx_init(cfg, batch_shape=(channels,))
 
+    def _chained(st, x, acc0=None):
+        def body(_, carry):
+            st, acc = carry
+            st, out = rx_stream(cfg, st, x)
+            return st, acc + jnp.sum(out.bits)
+        if acc0 is None:
+            acc0 = jnp.zeros((), jnp.int32)
+        return jax.lax.fori_loop(0, inner, body, (st, acc0))
+
     if ndev > 1:
+        from jax import shard_map
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         mesh = Mesh(np.asarray(jax.devices()), ("dp",))
         pcm = jax.device_put(pcm, NamedSharding(mesh, P("dp")))
         state = jax.device_put(state, NamedSharding(mesh, P("dp")))
 
-    @jax.jit
-    def step(st, x):
-        def body(_, carry):
-            st, acc = carry
-            st, out = rx_stream(cfg, st, x)
-            return st, acc + jnp.sum(out.bits)
-        st, acc = jax.lax.fori_loop(
-            0, inner, body, (st, jnp.zeros((), jnp.int32)))
-        return st, acc
+        # shard_map, not just sharding annotations: the body traces with
+        # LOCAL per-device shapes, so the Pallas kernels launch per chip
+        # with no cross-device partitioning questions (channels are
+        # independent; the only collective is the checksum psum) — the
+        # same discipline as parallel.channels.make_channel_demod
+        def sharded(st, x):
+            # the checksum carry becomes device-varying on the first add;
+            # the fori carry type must start that way (shard-map VMA rule)
+            acc0 = jax.lax.pcast(jnp.zeros((), jnp.int32), ("dp",),
+                                 to="varying")
+            st, acc = _chained(st, x, acc0)
+            return st, jax.lax.psum(acc, "dp")
+
+        step = jax.jit(shard_map(sharded, mesh=mesh,
+                                 in_specs=(P("dp"), P("dp")),
+                                 out_specs=(P("dp"), P())))
+    else:
+        step = jax.jit(_chained)
 
     dt = _time_chained(step, state, pcm, iters)
     sps = nsamples * inner * iters / dt
