@@ -188,3 +188,18 @@ def test_bench_suite_fdm_reachable(capsys):
     """Review fix: --suite fdm is an accepted choice."""
     (rec,) = _run(capsys, ["bench", "--suite", "fdm"])
     assert rec["metric"] == "fdm_wideband_throughput" and rec["value"] > 0
+
+
+def test_rx_stream_fec_wiring(tmp_path, capsys):
+    """--fec + --stream: the streaming receiver decodes coded spools
+    through the soft-Viterbi buffers (wiring check; DSP quality is owned
+    by the library tests)."""
+    spool = str(tmp_path / "c.raw")
+    _run(capsys, ["tx", "--frames", "25", "--seed", "8", "--fec",
+                  "--out", spool])
+    rc = cli.main(["rx", spool, "--stream", "--fec"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    counters = json.loads(cap.err.strip().splitlines()[-1])
+    assert counters["crc_ok"] >= 12, counters
+    assert len(cap.out.strip().splitlines()) == counters["crc_ok"]
