@@ -48,6 +48,17 @@ class ModemConfig:
     pcm_scale: float = 16384.0   # int16 full-scale @ .5      (qpsk.c:260)
 
     # --- mode switches (new capability, not in reference) ---
+    # modulation: "qpsk" is the flagship — bit-exact against the C
+    # reference (ops/modmap.py) and the one the fused Pallas kernels
+    # implement.  "bpsk" / "8psk" / "16qam" route the same frame/packet
+    # stack through the generic family (ops/modfam.py): generic
+    # decision-directed carrier recovery (n_rot-fold ambiguity resolved by
+    # the CRC-scored sync hunt), max-log LLRs for the soft/FEC path, and
+    # the M-power acquisition matching the constellation.  16QAM decisions
+    # are amplitude-true: run agc=True (the slicer/detector use agc_target
+    # as the constellation scale; default 1.45 = the chain's double-GAIN
+    # post-MF magnitude, so a calibrated full-scale link works unaided).
+    modulation: str = "qpsk"
     # timing: "histogram" replicates qpsk.c:131-180 exactly (the estimator the
     # reference README calls unreliable); "power" is the robust
     # Oerder&Meyr-style squared-envelope integer-phase estimator (default);
@@ -130,6 +141,25 @@ class ModemConfig:
         if self.timing_mode not in ("histogram", "power", "fractional",
                                     "tracking"):
             raise ValueError(f"unknown timing_mode {self.timing_mode!r}")
+        if self.modulation not in ("qpsk", "bpsk", "8psk", "16qam"):
+            raise ValueError(f"unknown modulation {self.modulation!r}")
+        if self.modulation != "qpsk":
+            # QPSK-specific machinery: DQPSK differential encode, the
+            # reference's rotate-45 parity slicer, and the gear-shift lock
+            # detector (thresholds measured on the QPSK error statistic)
+            if self.differential:
+                raise ValueError(
+                    f"differential=True is the DQPSK mode; "
+                    f"modulation={self.modulation!r} is coherent-only")
+            if self.slicer == "reference":
+                raise ValueError(
+                    "slicer='reference' replicates the C QPSK slicer; "
+                    f"not meaningful for modulation={self.modulation!r}")
+            if self.loop_bw_track > 0:
+                raise ValueError(
+                    "loop_bw_track (gear-shift Costas) is tuned on the "
+                    "QPSK lock statistic; set 0 for "
+                    f"modulation={self.modulation!r}")
         if self.nco_mode not in ("fast", "exact"):
             raise ValueError(f"unknown nco_mode {self.nco_mode!r}")
         if self.slicer not in ("diagonal", "reference"):
@@ -160,6 +190,18 @@ class ModemConfig:
     def cycles(self) -> int:
         """Samples per symbol (qpsk.h:21)."""
         return int(self.fs / self.rs)
+
+    @property
+    def bits_per_symbol(self) -> int:
+        if self.modulation == "qpsk":
+            return 2
+        from qpsk_tpu.ops.modfam import get
+        return get(self.modulation).bps
+
+    @property
+    def bits_per_frame(self) -> int:
+        """Channel bits carried by one modem frame."""
+        return self.bits_per_symbol * self.symbols_per_frame
 
     @property
     def symbols_per_frame(self) -> int:

@@ -72,9 +72,43 @@ def _gear_for(cfg: ModemConfig):
     return costas_ops.gear_for(cfg.loop_bw_track, cfg.damping)
 
 
+def _mod_for(cfg: ModemConfig):
+    """modfam.Modulation for a generic-family config, None for the QPSK
+    flagship (which keeps the bit-exact ops/modmap + Pallas paths)."""
+    if cfg.modulation == "qpsk":
+        return None
+    from qpsk_tpu.ops import modfam
+    return modfam.get(cfg.modulation)
+
+
+@functools.lru_cache(maxsize=None)
+def _detector_for(cfg: ModemConfig):
+    """Costas phase-error function: the reference QPSK sign detector, or
+    the generic decision-directed error for the modulation family.  The
+    constellation scale is ``cfg.agc_target`` — the chain's nominal post-MF
+    symbol magnitude (double-GAIN ~1.45), which the AGC also normalizes to
+    (only 16QAM decisions actually depend on it)."""
+    mod = _mod_for(cfg)
+    if mod is None:
+        return costas_ops.phase_detector
+    from qpsk_tpu.ops import modfam
+    return modfam.dd_detector(mod, scale=cfg.agc_target)
+
+
+def _slice_bits(cfg: ModemConfig, derot: CF32) -> jnp.ndarray:
+    """Hard-slice derotated symbols per the config's modulation/slicer."""
+    mod = _mod_for(cfg)
+    if mod is not None:
+        from qpsk_tpu.ops import modfam
+        return modfam.demod_bits_mod(derot, mod, scale=cfg.agc_target)
+    if cfg.slicer == "diagonal":
+        return modmap.demod_bits(derot)
+    return modmap.demod_bits_reference(derot)
+
+
 class RxOut(NamedTuple):
     symbols: CF32            # (..., nsym) Costas-derotated constellation pts
-    bits: jnp.ndarray        # (..., 2*nsym) sliced bits
+    bits: jnp.ndarray        # (..., bits_per_symbol*nsym) sliced bits
     freq_hz: jnp.ndarray     # (...,) detected carrier offset, Hz (qpsk.c:217)
     timing_index: jnp.ndarray  # (...,) decimation phase picked
 
@@ -102,11 +136,17 @@ def tx_frame(cfg: ModemConfig, state: TxState, symbols: CF32,
 def tx_bits_frame(cfg: ModemConfig, state: TxState, bits: jnp.ndarray,
                   tx_offset_hz: float = 0.0):
     """Bits -> PCM, with the reference dibit packing (qpsk.c:273-285).
-    In differential mode the dibits are phase *changes* (ops/differential)."""
+    In differential mode the dibits are phase *changes* (ops/differential);
+    generic-family modulations map through their Gray tables (ops/modfam)."""
     if cfg.differential:
         sym, diff_phase = differential.diff_encode_bits(bits, state.diff_phase)
         state, pcm = tx_frame(cfg, state, sym, tx_offset_hz)
         return state._replace(diff_phase=diff_phase), pcm
+    mod = _mod_for(cfg)
+    if mod is not None:
+        from qpsk_tpu.ops import modfam
+        return tx_frame(cfg, state, modfam.bits_to_symbols_mod(bits, mod),
+                        tx_offset_hz)
     return tx_frame(cfg, state, modmap.bits_to_symbols(bits), tx_offset_hz)
 
 
@@ -124,11 +164,17 @@ def tx_stream(cfg: ModemConfig, state: TxState, bits: jnp.ndarray,
     """
     batch = bits.shape[:-2]
     nframes = bits.shape[-2]
-    nsym = bits.shape[-1] // 2
+    nsym = bits.shape[-1] // cfg.bits_per_symbol
     diff_phase = state.diff_phase
+    mod = _mod_for(cfg)
     if cfg.differential:
         flat, diff_phase = differential.diff_encode_bits(
             bits.reshape(batch + (nframes * bits.shape[-1],)), diff_phase)
+    elif mod is not None:
+        from qpsk_tpu.ops import modfam
+        sym = modfam.bits_to_symbols_mod(bits, mod)  # (..., F, nsym)
+        flat = CF32(sym.re.reshape(batch + (nframes * nsym,)),
+                    sym.im.reshape(batch + (nframes * nsym,)))
     else:
         sym = modmap.bits_to_symbols(bits)          # (..., F, nsym)
         flat = CF32(sym.re.reshape(batch + (nframes * nsym,)),
@@ -193,9 +239,16 @@ def rx_acquire_hz(cfg: ModemConfig, pcm: jnp.ndarray) -> jnp.ndarray:
     Capability upgrade over the reference, whose loop cold-starts and must
     be hand-tuned to pull in offsets (README.md:12).
     """
+    from qpsk_tpu.ops.modfam import ACQUIRE_POWER
+    power = ACQUIRE_POWER[cfg.modulation]
+    # the 8th-power strip (8PSK) amplifies RRC inter-symbol samples into a
+    # noise floor that buries the 8f line at nfft=512 — 4x the coherent
+    # integration recovers it (measured: 512 fails at |f| >= 20 Hz, 2048
+    # is accurate to ~0.2 Hz across the +/-150 Hz chain range)
+    nfft_want = cfg.nfft * (4 if power == 8 else 1)
     flat = pcm.reshape(pcm.shape[:-2] + (-1,)) if pcm.ndim >= 2 else pcm
     block = _pick_block(cfg.frame_size)
-    n = min(flat.shape[-1], max(4 * cfg.nfft, block))
+    n = min(flat.shape[-1], max(4 * cfg.nfft, nfft_want + 2 * block, block))
     n -= n % block
     if n == 0:
         raise ValueError(
@@ -209,12 +262,12 @@ def rx_acquire_hz(cfg: ModemConfig, pcm: jnp.ndarray) -> jnp.ndarray:
         x, rrc_ops.fir_init_tail(cfg.ntaps, xr.shape[:-1]), tmat,
         cfg.gain, block)
     from qpsk_tpu.ops import acquire
-    nfft = min(cfg.nfft, n)
+    nfft = min(nfft_want, n)
     # skip the filter's fill-in transient
     start = min(cfg.ntaps, n - nfft)
     return acquire.acquire_freq_hz(
         CF32(x.re[..., start:start + nfft], x.im[..., start:start + nfft]),
-        cfg.fs, nfft=nfft)
+        cfg.fs, nfft=nfft, power=power)
 
 
 def rx_frame(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
@@ -264,14 +317,13 @@ def rx_frame(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
         cstate, derot = costas_ops.costas_run_gear(state.costas, symbols,
                                                    params, gear)
     else:
-        cstate, derot = costas_ops.costas_run(state.costas, symbols, params)
+        cstate, derot = costas_ops.costas_run(state.costas, symbols, params,
+                                              detector=_detector_for(cfg))
     diff_prev = state.diff_prev
     if cfg.differential:
         bits, diff_prev = differential.diff_decode_symbols(derot, diff_prev)
-    elif cfg.slicer == "diagonal":
-        bits = modmap.demod_bits(derot)
     else:
-        bits = modmap.demod_bits_reference(derot)
+        bits = _slice_bits(cfg, derot)
     out = RxOut(symbols=derot, bits=bits,
                 freq_hz=costas_ops.freq_to_hz(cstate.freq, cfg.rs),
                 timing_index=index)
@@ -449,6 +501,7 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     n = nframes * fsz
 
     if (cfg.costas_impl == "auto" and jax.default_backend() == "tpu"
+            and cfg.modulation == "qpsk"
             and (len(batch) == 0
                  or (len(batch) == 1 and batch[0] % 128 != 0))):
         return _rx_stream_fused_padded(cfg, state, pcm)
@@ -456,9 +509,17 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     params = costas_ops.costas_params(cfg.loop_bw, cfg.damping,
                                       cfg.min_freq, cfg.max_freq)
     gear = _gear_for(cfg)
+    if cfg.costas_impl == "pallas" and cfg.modulation != "qpsk":
+        # the fused kernel hardcodes the QPSK sign detector + diagonal
+        # slicer; silently running it for another constellation would be
+        # the silent-degradation class ops/timing.py warns about
+        raise ValueError(
+            f"costas_impl='pallas' implements QPSK only (got modulation="
+            f"{cfg.modulation!r}); use costas_impl='auto'")
     use_pallas = cfg.costas_impl == "pallas" or (
         cfg.costas_impl == "auto"
         and jax.default_backend() == "tpu"
+        and cfg.modulation == "qpsk"
         and len(batch) == 1 and batch[0] % 128 == 0)
 
     if _use_tm_path(cfg, batch, fsz, nframes, use_pallas):
@@ -557,7 +618,8 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
         freq_frames = freq_trace.reshape(batch + (nframes, nsf))[..., -1]
     else:
         cstate, derot, freq_trace = costas_ops.costas_run_traced(
-            state.costas, symbols, params, unroll=8)
+            state.costas, symbols, params, unroll=8,
+            detector=_detector_for(cfg))
         freq_frames = freq_trace.reshape(batch + (nframes, nsf))[..., -1]
     return _rx_stream_emit(cfg, state, derot, freq_frames, index, cstate,
                            nco_phase, fir_tail, decim_delay, timing_state,
@@ -576,14 +638,11 @@ def _rx_stream_emit(cfg: ModemConfig, state: RxState, derot: CF32,
     if cfg.differential:
         bits, diff_prev = differential.diff_decode_symbols(derot, diff_prev)
     elif bits is None:
-        if cfg.slicer == "diagonal":
-            bits = modmap.demod_bits(derot)
-        else:
-            bits = modmap.demod_bits_reference(derot)
+        bits = _slice_bits(cfg, derot)
     out = RxOut(
         symbols=CF32(derot.re.reshape(batch + (nframes, nsf)),
                      derot.im.reshape(batch + (nframes, nsf))),
-        bits=bits.reshape(batch + (nframes, 2 * nsf)),
+        bits=bits.reshape(batch + (nframes, cfg.bits_per_symbol * nsf)),
         freq_hz=costas_ops.freq_to_hz(freq_frames, cfg.rs),
         timing_index=index)
     new_state = state._replace(fir_tail=fir_tail, nco_phase=nco_phase,

@@ -35,28 +35,42 @@ def quadruple(x: CF32) -> CF32:
     return cmul(z2, z2)
 
 
-def acquire_freq_hz(x: CF32, fs: float, nfft: int = 512) -> jnp.ndarray:
-    """Estimate the carrier offset (Hz) of QPSK baseband samples ``x``
-    (..., n >= nfft).  Returns (...,) float32.
+def _mpower(x: CF32, power: int) -> CF32:
+    """z^power by repeated squaring (power in {2, 4, 8}: the modulation
+    strip orders of the family — BPSK 2, QPSK/16QAM 4, 8PSK 8)."""
+    assert power in (2, 4, 8), power
+    z = cmul(x, x)
+    if power >= 4:
+        z = cmul(z, z)
+    if power == 8:
+        z = cmul(z, z)
+    return z
+
+
+def acquire_freq_hz(x: CF32, fs: float, nfft: int = 512,
+                    power: int = 4) -> jnp.ndarray:
+    """Estimate the carrier offset (Hz) of M-PSK/QAM baseband samples ``x``
+    (..., n >= nfft).  ``power`` is the modulation-strip order (see
+    ``modfam.ACQUIRE_POWER``; default 4 = QPSK).  Returns (...,) float32.
     """
-    x4 = quadruple(CF32(x.re[..., :nfft], x.im[..., :nfft]))
+    x4 = _mpower(CF32(x.re[..., :nfft], x.im[..., :nfft]), power)
     spec = fft_ops.fft(x4)
-    power = spec.re * spec.re + spec.im * spec.im  # (..., nfft)
-    k = jnp.argmax(power, axis=-1)
+    psd = spec.re * spec.re + spec.im * spec.im  # (..., nfft)
+    k = jnp.argmax(psd, axis=-1)
 
     # Parabolic interpolation around the peak (cyclic neighbors).
     km = jnp.mod(k - 1, nfft)
     kp = jnp.mod(k + 1, nfft)
-    pm = jnp.take_along_axis(power, km[..., None], axis=-1)[..., 0]
-    p0 = jnp.take_along_axis(power, k[..., None], axis=-1)[..., 0]
-    pp = jnp.take_along_axis(power, kp[..., None], axis=-1)[..., 0]
+    pm = jnp.take_along_axis(psd, km[..., None], axis=-1)[..., 0]
+    p0 = jnp.take_along_axis(psd, k[..., None], axis=-1)[..., 0]
+    pp = jnp.take_along_axis(psd, kp[..., None], axis=-1)[..., 0]
     denom = pm - 2.0 * p0 + pp
     delta = jnp.where(jnp.abs(denom) > 1e-20,
                       0.5 * (pm - pp) / denom, 0.0)
     kf = k.astype(jnp.float32) + delta
-    # Map bin to signed frequency, then undo the 4th power.
+    # Map bin to signed frequency, then undo the M-power.
     kf = jnp.where(kf > nfft / 2, kf - nfft, kf)
-    return kf * jnp.float32(fs / nfft) / 4.0
+    return kf * jnp.float32(fs / nfft) / jnp.float32(power)
 
 
 def hz_to_costas_freq(f_hz: jnp.ndarray, rs: float) -> jnp.ndarray:

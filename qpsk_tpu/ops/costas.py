@@ -162,10 +162,15 @@ def _wrap_phase(phase: jnp.ndarray) -> jnp.ndarray:
     return phase
 
 
-def costas_step(state: CostasState, z: CF32, params: CostasParams):
-    """One symbol tick: derotate, detect, advance (qpsk.c:196-212)."""
+def costas_step(state: CostasState, z: CF32, params: CostasParams,
+                detector=phase_detector):
+    """One symbol tick: derotate, detect, advance (qpsk.c:196-212).
+
+    ``detector`` swaps the phase-error function: the default is the
+    reference's QPSK sign detector; the generic modulation family passes
+    its decision-directed error (ops/modfam.dd_detector)."""
     out = cmul(z, cexp_conj(state.phase))
-    err = phase_detector(out)
+    err = detector(out)
     freq = state.freq + params.beta * err
     phase = (state.phase + freq) + params.alpha * err
     phase = _wrap_phase(phase)
@@ -231,7 +236,7 @@ def costas_run_gear(state: CostasState, symbols: CF32, params: CostasParams,
 
 
 def costas_run(state: CostasState, symbols: CF32, params: CostasParams,
-               unroll: int = 1):
+               unroll: int = 1, detector=phase_detector):
     """Track a block of symbols.
 
     Args:
@@ -239,13 +244,14 @@ def costas_run(state: CostasState, symbols: CF32, params: CostasParams,
       symbols: ``(..., t)`` CF32, batch shape matching ``state``.
       unroll: ``lax.scan`` unroll factor (amortizes per-step overhead on
         TPU; semantics unchanged).
+      detector: phase-error function (see ``costas_step``).
     Returns:
       (new_state, derotated symbols ``(..., t)``).
     """
     xs = CF32(jnp.moveaxis(symbols.re, -1, 0), jnp.moveaxis(symbols.im, -1, 0))
 
     def step(st, z):
-        return costas_step(st, CF32(*z), params)
+        return costas_step(st, CF32(*z), params, detector)
 
     new_state, out = jax.lax.scan(step, state, tuple(xs), unroll=unroll)
     return new_state, CF32(jnp.moveaxis(out.re, 0, -1),
@@ -253,14 +259,14 @@ def costas_run(state: CostasState, symbols: CF32, params: CostasParams,
 
 
 def costas_run_traced(state: CostasState, symbols: CF32, params: CostasParams,
-                      unroll: int = 1):
+                      unroll: int = 1, detector=phase_detector):
     """Like ``costas_run`` but also emits the per-symbol frequency trace
     (rad/symbol), for frame-boundary metric readback in the fused stream
     path (qpsk.c:217 reads the loop frequency once per frame)."""
     xs = CF32(jnp.moveaxis(symbols.re, -1, 0), jnp.moveaxis(symbols.im, -1, 0))
 
     def step(st, z):
-        st, out = costas_step(st, CF32(*z), params)
+        st, out = costas_step(st, CF32(*z), params, detector)
         return st, (out, st.freq)
 
     new_state, (out, freq) = jax.lax.scan(step, state, tuple(xs),

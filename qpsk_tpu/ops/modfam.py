@@ -269,10 +269,13 @@ def dd_detector(mod: Modulation, scale=1.0):
     The one-hot decision contraction keeps the scan step gather-free.
     """
     s = float(scale)
-    cre = jnp.asarray(mod.points_re * np.float32(s))
-    cim = jnp.asarray(mod.points_im * np.float32(s))
-    p2 = jnp.asarray((mod.points_re ** 2 + mod.points_im ** 2)
-                     * np.float32(s * s) + np.float32(1e-12))
+    # NUMPY constants in the closure (each jit trace lifts them afresh):
+    # capturing device arrays here would leak the first trace's tracers
+    # through the lru_cache'd closure into later traces
+    cre = (mod.points_re * np.float32(s)).astype(np.float32)
+    cim = (mod.points_im * np.float32(s)).astype(np.float32)
+    p2 = ((mod.points_re ** 2 + mod.points_im ** 2)
+          * np.float32(s * s) + np.float32(1e-12)).astype(np.float32)
 
     def detector(z: CF32) -> jnp.ndarray:
         score = (2.0 * (z.re[..., None] * cre + z.im[..., None] * cim)
