@@ -22,6 +22,7 @@ from qpsk_tpu.ops.modmap import demod_soft
 from qpsk_tpu.packet import PacketConfig, assemble_packet
 from qpsk_tpu.state import rx_init, tx_init
 from qpsk_tpu.sync import (default_max_lag, extract_packets_soft_tracked,
+                           extract_packets_soft_tracked_mod,
                            extract_packets_tracked, find_sync)
 
 
@@ -45,7 +46,7 @@ def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
     payload = jnp.asarray(rng.integers(
         0, 2, (nframes, 8 * pcfg.payload_bytes), dtype=np.int32))
     chan_bits = assemble_packet(pcfg, payload).ravel()
-    mframe_bits = 2 * cfg.symbols_per_frame
+    mframe_bits = cfg.bits_per_frame
     npad = (-chan_bits.size) % mframe_bits
     if npad:
         chan_bits = jnp.concatenate(
@@ -66,9 +67,16 @@ def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
     state = rx_init(cfg, batch_shape=(ns,))
     _, out = jax.jit(lambda s, x: rx_stream(cfg, s, x))(state, noisy)
 
-    m = evm(CF32(out.symbols.re[:, skip_frames:],
-                 out.symbols.im[:, skip_frames:]))
-    evm_rms = np.asarray(jnp.mean(m.evm_rms, axis=-1))
+    if cfg.modulation == "qpsk":
+        m = evm(CF32(out.symbols.re[:, skip_frames:],
+                     out.symbols.im[:, skip_frames:]))
+        evm_rms = np.asarray(jnp.mean(m.evm_rms, axis=-1))
+    else:
+        from qpsk_tpu.ops import modfam
+        mod = modfam.get(cfg.modulation)
+        evm_rms = np.asarray(modfam.evm_mod(
+            CF32(out.symbols.re[:, skip_frames:].reshape(ns, -1),
+                 out.symbols.im[:, skip_frames:].reshape(ns, -1)), mod))
     det = np.asarray(jnp.mean(out.freq_hz[:, -10:], axis=-1))
 
     bits = np.asarray(out.bits).reshape(ns, -1)
@@ -77,26 +85,40 @@ def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
     # turn-difference decode, so coded DQPSK falls back to hard-input
     # Viterbi inside disassemble_packet (mirrors StreamDemodulator._use_soft)
     use_soft = pcfg.fec and not cfg.differential
-    llrs = (np.asarray(demod_soft(CF32(out.symbols.re.reshape(ns, -1),
-                                       out.symbols.im.reshape(ns, -1))))
-            if use_soft else None)
+    soft_src = None
+    if use_soft and cfg.modulation == "qpsk":
+        soft_src = np.asarray(demod_soft(CF32(
+            out.symbols.re.reshape(ns, -1), out.symbols.im.reshape(ns, -1))))
+    elif use_soft:
+        # generic family: the (nsym, M) score matrix carries every
+        # rotation hypothesis' LLR stream (sync.rotated_streams)
+        soft_src = np.asarray(modfam.symbol_scores(
+            CF32(out.symbols.re.reshape(ns, -1),
+                 out.symbols.im.reshape(ns, -1)), mod,
+            scale=cfg.agc_target))
     want = np.asarray(payload)
     results = []
     skip_bits = skip_frames * mframe_bits  # modem frames, not packets
+    skip_syms = skip_bits // cfg.bits_per_symbol
     for i in range(ns):
         stream = jnp.asarray(bits[i, skip_bits:])
         sync = find_sync(pcfg, stream, max_lag=default_max_lag(pcfg),
-                         probe_frames=4)
+                         probe_frames=4, modulation=cfg.modulation)
         navail = (stream.shape[0] - int(sync.bit_lag)) // pcfg.frame_bits
         rec = {"snr_db": float(snr[i]), "evm_rms": float(evm_rms[i]),
                "detected_hz": float(det[i]), "sync_score": int(sync.score),
                "packets": 0, "per": 1.0, "ber": 0.5}
         if int(sync.score) > 0 and navail > 0:
-            if use_soft:
+            if use_soft and cfg.modulation == "qpsk":
                 rx = extract_packets_soft_tracked(
-                    pcfg, jnp.asarray(llrs[i, skip_bits:]), sync, navail)
+                    pcfg, jnp.asarray(soft_src[i, skip_bits:]), sync, navail)
+            elif use_soft:
+                rx = extract_packets_soft_tracked_mod(
+                    pcfg, jnp.asarray(soft_src[i, skip_syms:]), sync,
+                    navail, cfg.modulation)
             else:
-                rx = extract_packets_tracked(pcfg, stream, sync, navail)
+                rx = extract_packets_tracked(pcfg, stream, sync, navail,
+                                             modulation=cfg.modulation)
             ok = np.asarray(rx.crc_ok)
             got = np.asarray(rx.payload_bits)
             # anchor the stream offset on CRC-ok packets: try each until one

@@ -241,11 +241,13 @@ def rx_acquire_hz(cfg: ModemConfig, pcm: jnp.ndarray) -> jnp.ndarray:
     """
     from qpsk_tpu.ops.modfam import ACQUIRE_POWER
     power = ACQUIRE_POWER[cfg.modulation]
-    # the 8th-power strip (8PSK) amplifies RRC inter-symbol samples into a
-    # noise floor that buries the 8f line at nfft=512 — 4x the coherent
-    # integration recovers it (measured: 512 fails at |f| >= 20 Hz, 2048
-    # is accurate to ~0.2 Hz across the +/-150 Hz chain range)
-    nfft_want = cfg.nfft * (4 if power == 8 else 1)
+    # weak-line modulations need 4x the coherent integration: the 8PSK
+    # 8th-power strip amplifies RRC inter-symbol samples into a noise
+    # floor that buries the 8f line at nfft=512, and the 16QAM 4th-power
+    # line is itself weak (E[c^4] = -0.68 vs 1.0 for QPSK) — measured:
+    # nfft=512 mis-acquires by >100 Hz on some data, 2048 is accurate to
+    # ~0.2 Hz across the +/-150 Hz chain range for both
+    nfft_want = cfg.nfft * (4 if cfg.modulation in ("8psk", "16qam") else 1)
     flat = pcm.reshape(pcm.shape[:-2] + (-1,)) if pcm.ndim >= 2 else pcm
     block = _pick_block(cfg.frame_size)
     n = min(flat.shape[-1], max(4 * cfg.nfft, nfft_want + 2 * block, block))

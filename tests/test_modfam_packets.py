@@ -1,0 +1,132 @@
+"""Packet pipeline over the generic modulation family: CRC-scored sync
+hunt (n_rot rotations x bit lags), tracked extraction, and the soft/FEC
+path via score-matrix LLRs (sync.extract_packets_soft_tracked_mod)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qpsk_tpu import ModemConfig, rx_init, tx_init
+from qpsk_tpu.channel import awgn_pcm
+from qpsk_tpu.eval import per_vs_snr
+from qpsk_tpu.modem import rx_acquire_hz, rx_stream, tx_stream
+from qpsk_tpu.ops.acquire import hz_to_costas_freq
+from qpsk_tpu.packet import PacketConfig, assemble_packet
+from qpsk_tpu.sync import (default_max_lag, extract_packets,
+                           extract_packets_tracked, find_sync)
+
+NFRAMES = 36
+SKIP = 10
+
+
+def _cfg(name):
+    return ModemConfig(modulation=name, agc=(name == "16qam"))
+
+
+def _link(name, pcfg, snr_db, offset_hz=20.0, seed=0):
+    cfg = _cfg(name)
+    rng = np.random.default_rng(seed)
+    payload = jnp.asarray(rng.integers(
+        0, 2, (NFRAMES, 8 * pcfg.payload_bytes), dtype=np.int32))
+    chan = assemble_packet(pcfg, payload).ravel()
+    mfb = cfg.bits_per_frame
+    npad = (-chan.size) % mfb
+    if npad:
+        chan = jnp.concatenate(
+            [chan, jnp.asarray(rng.integers(0, 2, (npad,), dtype=np.int32))])
+    _, pcm = tx_stream(cfg, tx_init(cfg), chan.reshape(-1, mfb),
+                       tx_offset_hz=offset_hz)
+    if snr_db is not None:
+        sp = float(jnp.mean((pcm.astype(jnp.float32) / cfg.pcm_scale) ** 2))
+        pcm = awgn_pcm(jax.random.key(seed), pcm, snr_db=snr_db,
+                       signal_power=sp)
+    est = rx_acquire_hz(cfg, pcm)
+    state = rx_init(cfg, acq_freq=hz_to_costas_freq(est, cfg.rs))
+    _, out = jax.jit(lambda s, x: rx_stream(cfg, s, x))(state, pcm)
+    return cfg, payload, out
+
+
+def _payload_matches(got, ok, want):
+    """Count CRC-ok packets whose payload is bit-exact against TX (anchored
+    on the first CRC-ok packet that matches some TX payload)."""
+    want_index = {w.tobytes(): k for k, w in enumerate(want)}
+    k0 = None
+    for i0 in np.flatnonzero(ok):
+        k = want_index.get(got[int(i0)].tobytes())
+        if k is not None:
+            k0 = k - int(i0)
+            break
+    assert k0 is not None, "no CRC-ok payload matched TX"
+    exact = sum(bool(ok[j]) and 0 <= j + k0 < want.shape[0]
+                and np.array_equal(got[j], want[j + k0])
+                for j in range(got.shape[0]))
+    return exact
+
+
+@pytest.mark.parametrize("name", ["bpsk", "8psk", "16qam"])
+def test_packet_loopback_clean(name):
+    """Noiseless + 20 Hz offset: sync resolves rotation + bit lag, every
+    post-transient packet decodes bit-exact."""
+    pcfg = PacketConfig(payload_bytes=30)
+    cfg, payload, out = _link(name, pcfg, None)
+    bits = out.bits.ravel()
+    skip = SKIP * cfg.bits_per_frame
+    sync = find_sync(pcfg, bits[skip:], max_lag=default_max_lag(pcfg),
+                     probe_frames=4, modulation=name)
+    assert int(sync.score) == 4, sync
+    navail = (bits.size - skip - int(sync.bit_lag)) // pcfg.frame_bits
+    rx = extract_packets(pcfg, bits[skip:], sync, navail, modulation=name)
+    ok = np.asarray(rx.crc_ok)
+    assert ok.all()
+    exact = _payload_matches(np.asarray(rx.payload_bits), ok,
+                             np.asarray(payload))
+    assert exact == navail
+
+
+@pytest.mark.parametrize("name,snr", [("bpsk", 9.0), ("8psk", 19.0),
+                                      ("16qam", 21.0)])
+def test_packet_loopback_awgn_tracked(name, snr):
+    """Operating SNR: tracked extraction decodes ~all packets."""
+    pcfg = PacketConfig(payload_bytes=30)
+    cfg, payload, out = _link(name, pcfg, snr)
+    bits = out.bits.ravel()
+    skip = SKIP * cfg.bits_per_frame
+    sync = find_sync(pcfg, bits[skip:], max_lag=default_max_lag(pcfg),
+                     probe_frames=4, modulation=name)
+    assert int(sync.score) >= 3, sync
+    navail = (bits.size - skip - int(sync.bit_lag)) // pcfg.frame_bits
+    rx = extract_packets_tracked(pcfg, bits[skip:], sync, navail,
+                                 modulation=name)
+    ok = np.asarray(rx.crc_ok)
+    assert ok.mean() > 0.95, ok.mean()
+    exact = _payload_matches(np.asarray(rx.payload_bits), ok,
+                             np.asarray(payload))
+    assert exact >= int(ok.sum())  # every CRC-ok packet is bit-exact
+
+
+@pytest.mark.parametrize("name,snrs", [("bpsk", (7.0,)), ("8psk", (17.0,)),
+                                       ("16qam", (19.0,))])
+def test_per_vs_snr_coded_soft(name, snrs):
+    """The full eval harness with conv FEC: the generic soft path
+    (score-matrix LLRs -> soft Viterbi) decodes cleanly at operating SNR
+    — 2-3 dB below the uncoded floors of the tests above."""
+    cfg = _cfg(name)
+    pcfg = PacketConfig(payload_bytes=30, fec=True)
+    recs = per_vs_snr(cfg, pcfg, snrs, nframes=60, offset_hz=20.0, seed=1)
+    for r in recs:
+        assert r["sync_score"] > 0, r
+        assert r["packets"] > 20, r
+        assert r["per"] <= 0.05, r
+        assert r["ber"] < 0.01, r
+
+
+def test_per_vs_snr_uncoded_8psk_curve():
+    """PER falls monotonically-ish with SNR for 8PSK (sanity of the whole
+    generic sweep plumbing)."""
+    cfg = _cfg("8psk")
+    pcfg = PacketConfig(payload_bytes=30)
+    recs = per_vs_snr(cfg, pcfg, (14.0, 22.0), nframes=60, offset_hz=20.0,
+                      seed=2)
+    assert recs[1]["per"] <= recs[0]["per"]
+    assert recs[1]["per"] < 0.1, recs[1]
