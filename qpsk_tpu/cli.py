@@ -30,6 +30,12 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--parity", action="store_true",
                    help="reference-parity mode (histogram timing, exact NCO)")
+    p.add_argument("--modulation", type=str, default="qpsk",
+                   choices=["qpsk", "bpsk", "8psk", "16qam"],
+                   help="constellation: qpsk is the reference-parity "
+                        "flagship; bpsk/8psk/16qam route the same packet "
+                        "stack through the generic family (ops/modfam.py; "
+                        "pair 16qam with --agc on uncalibrated levels)")
     p.add_argument("--differential", action="store_true",
                    help="DQPSK: rotation-immune decode, no CRC rotation search")
     p.add_argument("--timing", type=str, default="power",
@@ -57,6 +63,7 @@ def _cfg(args):
     if getattr(args, "parity", False):
         return config_parity()
     return ModemConfig(rs=args.baud,
+                       modulation=getattr(args, "modulation", "qpsk"),
                        differential=getattr(args, "differential", False),
                        timing_mode=getattr(args, "timing", "power"),
                        eq_taps=getattr(args, "eq_taps", 0),
@@ -79,7 +86,8 @@ def cmd_loopback(args) -> int:
     from qpsk_tpu.modem import rx_stream
     from qpsk_tpu.ops.cplx import CF32
     from qpsk_tpu.packet import assemble_packet
-    from qpsk_tpu.sync import (default_max_lag, extract_packets_soft_tracked,
+    from qpsk_tpu.sync import (_mod_geometry, default_max_lag,
+                               extract_packets_soft_tracked,
                                extract_packets_tracked, find_sync)
 
     cfg = _cfg(args)
@@ -87,7 +95,17 @@ def cmd_loopback(args) -> int:
     rng = np.random.default_rng(args.seed)
     payload = jnp.asarray(
         rng.integers(0, 2, (args.frames, 8 * pcfg.payload_bytes), dtype=np.int32))
-    chan_bits = assemble_packet(pcfg, payload)
+    chan_bits = assemble_packet(pcfg, payload).ravel()
+    # re-frame the packet stream into whole MODEM frames (symbol-aligned:
+    # generic-family bits/symbol need not divide the packet frame_bits),
+    # padding the tail with filler bits
+    mfb = cfg.bits_per_frame
+    npad = (-chan_bits.size) % mfb
+    if npad:
+        chan_bits = jnp.concatenate(
+            [chan_bits,
+             jnp.asarray(rng.integers(0, 2, (npad,), dtype=np.int32))])
+    chan_bits = chan_bits.reshape(-1, mfb)
 
     from qpsk_tpu.modem import tx_stream
     _, pcm = tx_stream(cfg, tx_init(cfg), chan_bits,
@@ -130,7 +148,15 @@ def cmd_loopback(args) -> int:
     npad = (-flat.size) % cfg.frame_size
     if npad:
         flat = jnp.concatenate([flat, jnp.zeros((npad,), flat.dtype)])
-    _, out = rx_stream(cfg, rx_init(cfg), flat.reshape(-1, cfg.frame_size))
+    # generic-family carriers: FFT-acquire before the (narrower-pull-in)
+    # decision-directed loop — same receive recipe as eval.per_vs_snr
+    acq = 0.0
+    if cfg.modulation != "qpsk" and cfg.acquisition == "fft":
+        from qpsk_tpu.modem import rx_acquire_hz
+        from qpsk_tpu.ops.acquire import hz_to_costas_freq
+        acq = hz_to_costas_freq(rx_acquire_hz(cfg, flat), cfg.rs)
+    _, out = rx_stream(cfg, rx_init(cfg, acq_freq=acq),
+                       flat.reshape(-1, cfg.frame_size))
 
     if args.frames < 8:
         print(f"error: --frames must be >= 8 (packet sync needs a probe "
@@ -139,29 +165,51 @@ def cmd_loopback(args) -> int:
         return 2
     skip = min(8, args.frames // 4)
     bits = out.bits.ravel()
-    sync = find_sync(pcfg, bits[skip * pcfg.frame_bits:],
-                     max_lag=default_max_lag(pcfg), probe_frames=4)
-    navail = ((bits.size - skip * pcfg.frame_bits - int(sync.bit_lag))
-              // pcfg.frame_bits)
+    # generic-family bit streams must be sliced SYMBOL-aligned (rotation
+    # hypotheses re-group bits per symbol); for QPSK any even offset works
+    # and packet frame_bits is even, so this is the historical offset
+    bps = cfg.bits_per_symbol
+    skip_bits = skip * pcfg.frame_bits
+    skip_bits -= skip_bits % bps
+    sync = find_sync(pcfg, bits[skip_bits:], max_lag=default_max_lag(pcfg),
+                     probe_frames=4, modulation=cfg.modulation)
+    navail = (bits.size - skip_bits - int(sync.bit_lag)) // pcfg.frame_bits
     # sustained clock drift can wrap the timing phase and slip the symbol
     # grid: let the tracked extractors walk the bit-lag too
     max_slip = 2 if getattr(args, "clock_ppm", 0.0) else 0
     if args.fec and not cfg.differential:
         # soft-decision extraction (LLRs from the demod symbols)
-        from qpsk_tpu.ops.modmap import demod_soft
-        llrs = demod_soft(CF32(out.symbols.re.reshape(-1),
-                               out.symbols.im.reshape(-1)))
-        rx = extract_packets_soft_tracked(pcfg, llrs[skip * pcfg.frame_bits:],
-                                          sync, navail, max_slip=max_slip)
+        if cfg.modulation == "qpsk":
+            from qpsk_tpu.ops.modmap import demod_soft
+            llrs = demod_soft(CF32(out.symbols.re.reshape(-1),
+                                   out.symbols.im.reshape(-1)))
+            rx = extract_packets_soft_tracked(
+                pcfg, llrs[skip_bits:], sync, navail, max_slip=max_slip)
+        else:
+            from qpsk_tpu.ops import modfam
+            from qpsk_tpu.sync import extract_packets_soft_tracked_mod
+            scores = modfam.symbol_scores(
+                CF32(out.symbols.re.reshape(-1), out.symbols.im.reshape(-1)),
+                modfam.get(cfg.modulation), scale=cfg.agc_target)
+            rx = extract_packets_soft_tracked_mod(
+                pcfg, scores[skip_bits // bps:], sync, navail,
+                cfg.modulation, max_slip=max_slip)
     else:
         # differential bits come from the turn-difference decode, so
         # per-bit LLRs of the absolute symbols don't apply: FEC (if on)
         # decodes hard-input inside disassemble_packet (~2 dB off soft)
-        rx = extract_packets_tracked(pcfg, bits[skip * pcfg.frame_bits:],
-                                     sync, navail, max_slip=max_slip)
+        rx = extract_packets_tracked(pcfg, bits[skip_bits:], sync, navail,
+                                     max_slip=max_slip,
+                                     modulation=cfg.modulation)
     from qpsk_tpu.metrics import snr_estimate_db
     post = CF32(out.symbols.re[skip:], out.symbols.im[skip:])
-    m = evm(post)
+    if cfg.modulation == "qpsk":
+        evm_rms = float(jnp.mean(evm(post).evm_rms))
+    else:
+        from qpsk_tpu.ops import modfam
+        evm_rms = float(jnp.mean(modfam.evm_mod(
+            CF32(post.re.reshape(1, -1), post.im.reshape(1, -1)),
+            modfam.get(cfg.modulation))))
     est_snr = float(snr_estimate_db(CF32(post.re.ravel(), post.im.ravel())))
 
     result = {
@@ -169,11 +217,12 @@ def cmd_loopback(args) -> int:
         "snr_db": args.snr_db,
         "offset_hz": args.offset_hz,
         "detected_offset_hz": round(float(jnp.mean(out.freq_hz[-10:])), 2),
-        "sync_rotation_deg": int(sync.rotation) * 90,
+        "sync_rotation_deg": int(sync.rotation) * (
+            360 // _mod_geometry(cfg.modulation)[0]),
         "sync_score": int(sync.score),
         "packets": int(np.asarray(rx.crc_ok).size),
         "per": round(float(per(rx.crc_ok)), 5),
-        "evm_rms": round(float(jnp.mean(m.evm_rms)), 5),
+        "evm_rms": round(evm_rms, 5),
         "est_snr_db": round(est_snr, 2),
     }
     print(json.dumps(result))
@@ -279,7 +328,11 @@ def _cmd_tx_stream(args) -> int:
             sink.flush()
             npkts += 1
             nsamp += pcm.size
-        tail = convert_out(np.zeros(0, np.int16), last=True)
+        # drain the modulator's sub-symbol bit remainder (generic-family
+        # constellations), then the resampler's carry
+        tail = np.concatenate([convert_out(mod.flush()),
+                               convert_out(np.zeros(0, np.int16),
+                                           last=True)])
         sink.write(tail.tobytes())
         sink.flush()
         nsamp += tail.size
@@ -307,7 +360,14 @@ def cmd_tx(args) -> int:
     rng = np.random.default_rng(args.seed)
     payload = jnp.asarray(
         rng.integers(0, 2, (args.frames, 8 * pcfg.payload_bytes), dtype=np.int32))
-    _, pcm = tx_stream(cfg, tx_init(cfg), assemble_packet(pcfg, payload),
+    chan_bits = assemble_packet(pcfg, payload).ravel()
+    mfb = cfg.bits_per_frame       # whole symbol-aligned modem frames
+    npad = (-chan_bits.size) % mfb
+    if npad:
+        chan_bits = jnp.concatenate(
+            [chan_bits,
+             jnp.asarray(rng.integers(0, 2, (npad,), dtype=np.int32))])
+    _, pcm = tx_stream(cfg, tx_init(cfg), chan_bits.reshape(-1, mfb),
                        tx_offset_hz=args.offset_hz)
     rate = int(args.io_rate or cfg.fs)
     if rate != int(cfg.fs):
@@ -467,13 +527,20 @@ def cmd_rx(args) -> int:
         print(f"error: {args.infile} holds only {nframes} frames; packet "
               f"sync needs at least 8", file=sys.stderr)
         return 2
-    _, out = rx_stream(cfg, rx_init(cfg), pcm)
+    acq = 0.0
+    if cfg.modulation != "qpsk" and cfg.acquisition == "fft":
+        from qpsk_tpu.modem import rx_acquire_hz
+        from qpsk_tpu.ops.acquire import hz_to_costas_freq
+        acq = hz_to_costas_freq(rx_acquire_hz(cfg, pcm.reshape(-1)), cfg.rs)
+    _, out = rx_stream(cfg, rx_init(cfg, acq_freq=acq), pcm)
     bits = out.bits.ravel()
     skip = min(8, nframes // 4) * pcfg.frame_bits
+    skip -= skip % cfg.bits_per_symbol   # symbol-aligned (generic family)
     sync = find_sync(pcfg, bits[skip:], max_lag=default_max_lag(pcfg),
-                     probe_frames=4)
+                     probe_frames=4, modulation=cfg.modulation)
     navail = (bits.size - skip - int(sync.bit_lag)) // pcfg.frame_bits
-    rx = extract_packets_tracked(pcfg, bits[skip:], sync, navail)
+    rx = extract_packets_tracked(pcfg, bits[skip:], sync, navail,
+                                 modulation=cfg.modulation)
     print(json.dumps({
         "frames": nframes,
         "detected_offset_hz": round(float(np.mean(np.asarray(out.freq_hz)[-10:])), 2),
@@ -511,8 +578,15 @@ def cmd_fdm(args) -> int:
     rng = np.random.default_rng(args.seed)
     payload = jnp.asarray(rng.integers(
         0, 2, (c_n, args.frames, 8 * pcfg.payload_bytes), dtype=np.int32))
+    chan_bits = assemble_packet(pcfg, payload).reshape(c_n, -1)
+    mfb = cfg.bits_per_frame       # whole symbol-aligned modem frames
+    npad = (-chan_bits.shape[-1]) % mfb
+    if npad:
+        chan_bits = jnp.concatenate(
+            [chan_bits, jnp.asarray(rng.integers(
+                0, 2, (c_n, npad), dtype=np.int32))], axis=-1)
     _, pcm = tx_stream(cfg, tx_init(cfg, batch_shape=(c_n,)),
-                       assemble_packet(pcfg, payload),
+                       chan_bits.reshape(c_n, -1, mfb),
                        tx_offset_hz=args.offset_hz)
     wide = fdm_mux(fcfg, pcm.reshape(c_n, -1))
     if args.snr_db is not None:
@@ -528,21 +602,33 @@ def cmd_fdm(args) -> int:
                        back.reshape(c_n, -1, cfg.frame_size))
     chans = []
     skip = min(8, args.frames // 4) * pcfg.frame_bits
+    skip -= skip % cfg.bits_per_symbol   # symbol-aligned (generic family)
     use_soft = args.fec and not cfg.differential
     for c in range(c_n):
         b = out.bits[c].ravel()
         sync = find_sync(pcfg, b[skip:], max_lag=default_max_lag(pcfg),
-                         probe_frames=4)
+                         probe_frames=4, modulation=cfg.modulation)
         navail = (b.size - skip - int(sync.bit_lag)) // pcfg.frame_bits
-        if use_soft:
+        if use_soft and cfg.modulation == "qpsk":
             # soft-decision extraction, like loopback (hard-input decode
             # would forfeit ~2 dB of the coded gain)
             llrs = demod_soft(CF32(out.symbols.re[c].reshape(-1),
                                    out.symbols.im[c].reshape(-1)))
             rx = extract_packets_soft_tracked(pcfg, llrs[skip:], sync,
                                               navail)
+        elif use_soft:
+            from qpsk_tpu.ops import modfam
+            from qpsk_tpu.sync import extract_packets_soft_tracked_mod
+            scores = modfam.symbol_scores(
+                CF32(out.symbols.re[c].reshape(-1),
+                     out.symbols.im[c].reshape(-1)),
+                modfam.get(cfg.modulation), scale=cfg.agc_target)
+            rx = extract_packets_soft_tracked_mod(
+                pcfg, scores[skip // cfg.bits_per_symbol:], sync, navail,
+                cfg.modulation)
         else:
-            rx = extract_packets_tracked(pcfg, b[skip:], sync, navail)
+            rx = extract_packets_tracked(pcfg, b[skip:], sync, navail,
+                                         modulation=cfg.modulation)
         chans.append({
             "chan": c,
             "carrier_hz": fcfg.slot_center_hz(c, cfg.center),
@@ -629,12 +715,13 @@ def main(argv=None) -> int:
         # size the payload so one packet ~ one modem frame: uncoded frames
         # fill it exactly (payload + CRC16); coded frames halve the payload
         # for the rate-1/2 codes (conv adds 6 tail bits, so slightly under)
+        bpf = cfg.bits_per_frame
         if a.fec == "conv":
-            pb = (cfg.symbols_per_frame - 16 - 6) // 8
+            pb = (bpf // 2 - 16 - 6) // 8
         elif a.fec == "ldpc":
-            pb = (cfg.symbols_per_frame - 16) // 8
+            pb = (bpf // 2 - 16) // 8
         else:
-            pb = (2 * cfg.symbols_per_frame - 16) // 8
+            pb = (bpf - 16) // 8
         pcfg = PacketConfig(payload_bytes=pb, fec=a.fec)
         try:
             snrs = [float(s) for s in a.snr_db.split(",")]

@@ -62,8 +62,9 @@ from qpsk_tpu.packet.frame import (PacketConfig, assemble_packet,
                                    disassemble_packet,
                                    disassemble_packet_soft)
 from qpsk_tpu.state import rx_init, tx_init
-from qpsk_tpu.sync import (SyncResult, default_max_lag, find_sync,
-                           rotate_dibits, rotate_soft, walk_step)
+from qpsk_tpu.sync import (SyncResult, _mod_geometry, default_max_lag,
+                           find_sync_streams, rotate_soft, rotated_streams,
+                           walk_step)
 
 
 class Packet(NamedTuple):
@@ -107,10 +108,21 @@ class StreamModulator:
         self._state = tx_init(cfg)
         self._tx = jax.jit(functools.partial(
             tx_stream, cfg, tx_offset_hz=tx_offset_hz))
+        # generic-family constellations: frame_bits need not divide
+        # bits-per-symbol (8PSK), so channel bits carry in a pending
+        # buffer and modulate in fixed whole-symbol chunks (one static
+        # jit shape); QPSK keeps the exact per-packet shape (frame_bits
+        # is always even)
+        bps = cfg.bits_per_symbol
+        self._aligned = pcfg.frame_bits % bps == 0
+        self._chunk_bits = bps * ((pcfg.frame_bits + bps - 1) // bps)
+        self._pend = np.zeros(0, np.int32)
 
     def push(self, payload_bits) -> np.ndarray:
         """Modulate (npkts, 8*payload_bytes) (or a single flat packet of)
-        payload bits; returns the int16 passband PCM."""
+        payload bits; returns the int16 passband PCM.  For constellations
+        whose bits/symbol does not divide the packet length, a sub-symbol
+        bit remainder stays pending — call ``flush()`` at stream end."""
         p = np.asarray(payload_bits, np.int32)
         if p.ndim == 1:
             p = p[None, :]
@@ -120,16 +132,49 @@ class StreamModulator:
         # dispatch on the blocking relay round trip
         chan = assemble_packet(self.pcfg, jnp.asarray(p))
         out = []
-        for i in range(chan.shape[0]):      # one static (1, frame_bits)
-            self._state, pcm = self._tx(self._state, chan[i:i + 1])
-            out.append(pcm.reshape(-1))
+        if self._aligned:
+            for i in range(chan.shape[0]):  # one static (1, frame_bits)
+                self._state, pcm = self._tx(self._state, chan[i:i + 1])
+                out.append(pcm.reshape(-1))
+        else:
+            self._pend = np.concatenate(
+                [self._pend, np.asarray(chan).ravel()])
+            cb = self._chunk_bits
+            while self._pend.size >= cb:    # one static (1, chunk_bits)
+                self._state, pcm = self._tx(
+                    self._state, jnp.asarray(self._pend[None, :cb]))
+                out.append(pcm.reshape(-1))
+                self._pend = self._pend[cb:]
         if not out:
             return np.zeros(0, np.int16)
         return np.asarray(jnp.concatenate(out))
 
+    def flush(self) -> np.ndarray:
+        """Modulate any pending sub-chunk bits, zero-padded to a whole
+        symbol (filler after the last packet; the receiver just ignores
+        it).  QPSK never buffers, so this is a no-op there."""
+        if not self._pend.size:
+            return np.zeros(0, np.int16)
+        bps = self.cfg.bits_per_symbol
+        pad = (-self._pend.size) % bps
+        bits = np.concatenate([self._pend, np.zeros(pad, np.int32)])
+        self._pend = self._pend[:0]
+        self._state, pcm = self._tx(self._state, jnp.asarray(bits[None, :]))
+        return np.asarray(pcm).reshape(-1)
+
 
 class StreamDemodulator:
-    """Push-mode QPSK packet receiver (see module docstring)."""
+    """Push-mode packet receiver (see module docstring).
+
+    Modulation-generic: the bit/LLR buffers hold PRE-ROTATED streams
+    (n_rot, n) — each row the demod stream re-sliced under one carrier
+    rotation hypothesis (``sync.rotated_streams``), computed per bucket
+    while the stream head is still symbol-aligned.  Consumption then
+    works at arbitrary bit offsets (generic constellations' frame_bits
+    need not divide bits-per-symbol) without ever re-grouping symbols;
+    for QPSK the rows are ``rotate_dibits`` relabelings and the behavior
+    is identical to rotating at decode time (all consumption offsets are
+    dibit-aligned)."""
 
     def __init__(self, cfg: ModemConfig, pcfg: PacketConfig,
                  sync_skip_frames: int = 8, probe_frames: int = 4,
@@ -160,6 +205,10 @@ class StreamDemodulator:
         # full re-hunt.  The adopted shift folds into the buffer offset at
         # each span end (sync.extract_packets_tracked is the batch twin).
         self.slip_track = slip_track
+        # modulation geometry: rotation-hypothesis count, bits/symbol,
+        # and the sync hunt's lag stride (2 for QPSK's dibit grid)
+        self._nrot, self._bps, self._lag_step = _mod_geometry(cfg.modulation)
+        self._hw = self._bps * slip_track   # bit headroom at each end
         self.counters = LinkCounters()
         # Exactly TWO static rx_stream shapes ever compile, regardless of
         # the chunk sizes pushed: (bucket_frames, frame) for steady-state
@@ -174,23 +223,23 @@ class StreamDemodulator:
         self._acquire_jit = jax.jit(functools.partial(rx_acquire_hz, cfg))
 
         self._pcm_buf = np.zeros(0, np.int16)
-        self._bit_buf = np.zeros(0, np.int32)
+        self._bit_buf = np.zeros((self._nrot, 0), np.int32)
         # with FEC, a parallel LLR buffer (elementwise aligned with the bit
         # buffer) feeds soft-decision Viterbi — ~2 dB over hard-input.
         # Differential bits come from the turn-difference decode, so
         # per-bit LLRs of the absolute symbols don't apply there: FEC
         # falls back to hard-input Viterbi inside disassemble_packet.
         self._use_soft = pcfg.fec and not cfg.differential
-        self._llr_buf = np.zeros(0, np.float32)
+        self._llr_buf = np.zeros((self._nrot, 0), np.float32)
         self._state = None
         self._sync: SyncResult | None = None
         self._rotation = 0
         self._consecutive_bad = 0
         self._pkt_index = 0
-        # last 2*slip_track consumed bits (negative-shift hypotheses read
-        # back into them); zeros at an epoch start
-        self._lead = np.zeros(2 * slip_track, np.int32)
-        self._lead_llr = np.zeros(2 * slip_track, np.float32)
+        # last bps*slip_track consumed bits per rotation row (negative-
+        # shift hypotheses read back into them); zeros at an epoch start
+        self._lead = np.zeros((self._nrot, self._hw), np.int32)
+        self._lead_llr = np.zeros((self._nrot, self._hw), np.float32)
 
     # ------------------------------------------------------------------
     def push(self, pcm: np.ndarray) -> list[Packet]:
@@ -262,21 +311,34 @@ class StreamDemodulator:
                 # next bucket re-runs FFT acquisition — during long dead
                 # air the Costas frequency register would otherwise
                 # random-walk on noise beyond pull-in range.
-                self._bit_buf = self._bit_buf[:0]
-                self._llr_buf = self._llr_buf[:0]
+                self._bit_buf = self._bit_buf[:, :0]
+                self._llr_buf = self._llr_buf[:, :0]
                 self.sync_skip = self._sync_skip0
                 self._state = None
                 return pkts
             # the drain established sync mid-flush: an ESTABLISHED sync is
             # never squelch-dropped — fall through and buffer this bucket's
             # bits; only resync_after CRC failures end the epoch.
+        # buffer all rotation hypotheses of this bucket's bits/LLRs (the
+        # bucket is whole symbols, so relabeling here is always aligned)
         self._bit_buf = np.concatenate(
-            [self._bit_buf, np.asarray(out.bits).ravel()])
+            [self._bit_buf,
+             np.asarray(rotated_streams(out.bits.ravel(),
+                                        self.cfg.modulation))], axis=1)
         if self._use_soft:
-            llrs = demod_soft(CF32(out.symbols.re.reshape(-1),
-                                   out.symbols.im.reshape(-1)))
+            sym = CF32(out.symbols.re.reshape(-1), out.symbols.im.reshape(-1))
+            if self.cfg.modulation == "qpsk":
+                llrs = demod_soft(sym)
+                lstreams = jnp.stack([rotate_soft(llrs, r) for r in range(4)])
+            else:
+                from qpsk_tpu.ops import modfam
+                scores = modfam.symbol_scores(
+                    sym, modfam.get(self.cfg.modulation),
+                    scale=self.cfg.agc_target)
+                lstreams = rotated_streams(None, self.cfg.modulation,
+                                           soft=scores)
             self._llr_buf = np.concatenate(
-                [self._llr_buf, np.asarray(llrs).ravel()])
+                [self._llr_buf, np.asarray(lstreams)], axis=1)
         return pkts
 
     # ------------------------------------------------------------------
@@ -285,34 +347,35 @@ class StreamDemodulator:
         window = default_max_lag(self.pcfg)
         probe_bits = self.probe_frames * fb + 64
         while True:
-            if self._bit_buf.size - self.sync_skip < probe_bits:
+            if self._bit_buf.shape[1] - self.sync_skip < probe_bits:
                 return False
-            stream = jnp.asarray(self._bit_buf[self.sync_skip:])
-            sync = find_sync(self.pcfg, stream, max_lag=window,
-                             probe_frames=self.probe_frames)
+            streams = jnp.asarray(self._bit_buf[:, self.sync_skip:])
+            sync = find_sync_streams(self.pcfg, streams, max_lag=window,
+                                     probe_frames=self.probe_frames,
+                                     lag_step=self._lag_step)
             if int(sync.score) >= max(2, self.probe_frames - 1):
                 # consume everything before the first aligned packet
                 cut = self.sync_skip + int(sync.bit_lag)
-                self._bit_buf = self._bit_buf[cut:]
+                self._bit_buf = self._bit_buf[:, cut:]
                 if self._use_soft:
-                    self._llr_buf = self._llr_buf[cut:]
+                    self._llr_buf = self._llr_buf[:, cut:]
                 self._sync = sync
                 self._rotation = int(sync.rotation)
                 self.counters.synced = True
                 self.sync_skip = 0  # future resyncs hunt from the head
                 self._pkt_index = 0  # stream_index restarts per sync epoch
                 # fresh epoch: the lead window's continuity is gone
-                self._lead = np.zeros(2 * self.slip_track, np.int32)
-                self._lead_llr = np.zeros(2 * self.slip_track, np.float32)
+                self._lead = np.zeros((self._nrot, self._hw), np.int32)
+                self._lead_llr = np.zeros((self._nrot, self._hw), np.float32)
                 return True
             # no sync in [sync_skip, sync_skip + window): those bits are
             # dead — slide the hunt forward if more stream remains, and
             # trim the dead prefix so the buffer stays bounded
-            if self._bit_buf.size - self.sync_skip > probe_bits + window:
+            if self._bit_buf.shape[1] - self.sync_skip > probe_bits + window:
                 cut = self.sync_skip + window
-                self._bit_buf = self._bit_buf[cut:]
+                self._bit_buf = self._bit_buf[:, cut:]
                 if self._use_soft:
-                    self._llr_buf = self._llr_buf[cut:]
+                    self._llr_buf = self._llr_buf[:, cut:]
                 self.sync_skip = 0
                 continue
             return False
@@ -320,8 +383,8 @@ class StreamDemodulator:
     def _drain(self) -> list[Packet]:
         fb = self.pcfg.frame_bits
         st = self.slip_track
-        hw = 2 * st                     # bit headroom at each end
-        shifts = np.arange(-hw, hw + 1, 2, dtype=np.int64)
+        hw = self._hw                   # bit headroom at each end
+        shifts = np.arange(-hw, hw + 1, self._bps, dtype=np.int64)
         out: list[Packet] = []
         while True:
             # NOTE: squelch drops happen per bucket in _demod (before this
@@ -330,33 +393,37 @@ class StreamDemodulator:
             # always hunted/drained.
             if self._sync is None and not self._try_sync():
                 return out
-            nf = self._bit_buf.size // fb
+            nf = self._bit_buf.shape[1] // fb
             if nf <= 0:
                 return out
             # hypothesis spans at every bit-lag shift: the lead window
             # serves the negative shifts, zero right-padding the positive
             # ones (a +shift hypothesis on the final packet reads padding
             # and just fails CRC); nothing is consumed until the walk
-            # below decides how far the track actually advanced
+            # below decides how far the track actually advanced.  The
+            # buffers already hold every rotation row, so one batched pass
+            # covers all frames x n_rot rotations x shifts.
             ext = np.concatenate(
-                [self._lead, self._bit_buf, np.zeros(hw, np.int32)])
-            # one batched pass over all frames x 4 rotations x shifts
+                [self._lead, self._bit_buf,
+                 np.zeros((self._nrot, hw), np.int32)], axis=1)
             if self._use_soft:
                 ext_l = np.concatenate(
-                    [self._lead_llr, self._llr_buf, np.zeros(hw, np.float32)])
+                    [self._lead_llr, self._llr_buf,
+                     np.zeros((self._nrot, hw), np.float32)], axis=1)
                 spans_l = np.stack(
-                    [ext_l[hw + s: hw + s + nf * fb] for s in shifts])
-                soft = jnp.asarray(spans_l.reshape(len(shifts), nf, fb))
-                cand = jnp.stack([rotate_soft(soft, r) for r in range(4)])
+                    [ext_l[:, hw + s: hw + s + nf * fb] for s in shifts],
+                    axis=1)                          # (R, S, nf*fb)
+                cand = jnp.asarray(spans_l.reshape(
+                    self._nrot, len(shifts), nf, fb))
                 rx = disassemble_packet_soft(self.pcfg, cand)
             else:
                 spans = np.stack(
-                    [ext[hw + s: hw + s + nf * fb] for s in shifts])
-                frames = jnp.asarray(spans.reshape(len(shifts), nf, fb))
-                cand = jnp.stack([rotate_dibits(frames, r)
-                                  for r in range(4)])
+                    [ext[:, hw + s: hw + s + nf * fb] for s in shifts],
+                    axis=1)                          # (R, S, nf*fb)
+                cand = jnp.asarray(spans.reshape(
+                    self._nrot, len(shifts), nf, fb))
                 rx = disassemble_packet(self.pcfg, cand)
-            ok = np.asarray(rx.crc_ok)               # (4, S, nf)
+            ok = np.asarray(rx.crc_ok)               # (R, S, nf)
             payloads = np.asarray(rx.payload_bits)   # (4, S, nf, bits)
             cur_si = st                              # grid index of shift 0
             stop_j = None
@@ -384,13 +451,13 @@ class StreamDemodulator:
             # span's hypotheses (one extra CRC miss, no packet lost).
             last = nf if stop_j is None else stop_j + 1
             consumed = min(last * fb + int(shifts[cur_si]),
-                           self._bit_buf.size)
-            self._lead = ext[consumed: consumed + hw].astype(np.int32)
-            self._bit_buf = self._bit_buf[consumed:]
+                           self._bit_buf.shape[1])
+            self._lead = ext[:, consumed: consumed + hw].astype(np.int32)
+            self._bit_buf = self._bit_buf[:, consumed:]
             if self._use_soft:
-                self._lead_llr = ext_l[consumed: consumed + hw].astype(
+                self._lead_llr = ext_l[:, consumed: consumed + hw].astype(
                     np.float32)
-                self._llr_buf = self._llr_buf[consumed:]
+                self._llr_buf = self._llr_buf[:, consumed:]
             if stop_j is None:
                 return out
             # lost the channel: drop sync and re-arm (SURVEY.md §5); the

@@ -203,3 +203,39 @@ def test_rx_stream_fec_wiring(tmp_path, capsys):
     counters = json.loads(cap.err.strip().splitlines()[-1])
     assert counters["crc_ok"] >= 12, counters
     assert len(cap.out.strip().splitlines()) == counters["crc_ok"]
+
+
+def test_loopback_modulation_flag(capsys):
+    """--modulation routes the generic family through the whole harness
+    (8PSK frame_bits is not symbol-aligned: the re-framed TX path, the
+    every-bit-lag sync hunt, and the n_rot=8 rotation search all engage)."""
+    (rec,) = _run(capsys, ["loopback", "--modulation", "8psk", "--frames",
+                           "20", "--snr-db", "22", "--offset-hz", "30"])
+    assert rec["per"] == 0.0 and rec["sync_score"] >= 3
+    assert abs(rec["detected_offset_hz"] - 30.0) < 3.0
+
+
+def test_duplex_pipe_8psk(tmp_path, capsys):
+    """The streaming duplex surface over a generic modulation: the
+    StreamModulator carries the sub-symbol bit remainder across payload
+    lines (flush() drains it), and the StreamDemodulator's pre-rotated
+    buffers decode the pipe byte-exact."""
+    rng = np.random.default_rng(13)
+    payloads = [rng.integers(0, 256, 30, dtype=np.uint8).tobytes().hex()
+                for _ in range(25)]
+    pfile = str(tmp_path / "p.hex")
+    with open(pfile, "w") as f:
+        f.write("\n".join(payloads) + "\n")
+    spool = str(tmp_path / "s.raw")
+    rc = cli.main(["tx", "--modulation", "8psk", "--stream-in", pfile,
+                   "--out", spool, "--offset-hz", "30"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert json.loads(cap.err.strip().splitlines()[-1])["packets"] == 25
+
+    rc = cli.main(["rx", spool, "--stream", "--modulation", "8psk"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    got = cap.out.strip().splitlines()
+    assert len(got) >= 15, got
+    assert all(g in set(payloads) for g in got)

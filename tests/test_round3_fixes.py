@@ -125,7 +125,7 @@ def test_streaming_buffers_stay_bounded_on_endless_noise():
             chunk = rng.normal(0, 600.0, 4096).astype(np.int16)
             got = demod.push(chunk)
             assert got == []
-            peak_bits = max(peak_bits, demod._bit_buf.size)
+            peak_bits = max(peak_bits, demod._bit_buf.shape[1])
             peak_pcm = max(peak_pcm, demod._pcm_buf.size)
         # bounded by the hunt window + probe (un-squelched) or one
         # bucket's bits (squelched); PCM by one bucket
@@ -143,6 +143,6 @@ def test_streaming_buffers_stay_bounded_on_endless_noise():
     peak = 0
     for i in range(12):
         demod.push(rng.normal(0, 600.0, 4096).astype(np.int16))
-        peak = max(peak, demod._bit_buf.size)
+        peak = max(peak, demod._bit_buf.shape[1])
     assert peak <= 8 * PCFG.frame_bits + 4 * PCFG.frame_bits + 64 \
         + max(2 * PCFG.frame_bits, 600) + 4096, peak
