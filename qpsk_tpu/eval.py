@@ -64,7 +64,15 @@ def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
     noisy = awgn_pcm(jax.random.key(seed), pcm, snr_db=jnp.asarray(snr),
                      signal_power=sp, pcm_scale=cfg.pcm_scale)
 
-    state = rx_init(cfg, batch_shape=(ns,))
+    acq = 0.0
+    if cfg.modulation != "qpsk" and cfg.acquisition == "fft":
+        # generic-family receive recipe (same as the CLI): FFT-acquire per
+        # SNR point before the narrower decision-directed loop — at the
+        # default 50 Hz stimulus the cold DD pull-in is not guaranteed
+        from qpsk_tpu.modem import rx_acquire_hz
+        from qpsk_tpu.ops.acquire import hz_to_costas_freq
+        acq = hz_to_costas_freq(rx_acquire_hz(cfg, noisy), cfg.rs)
+    state = rx_init(cfg, batch_shape=(ns,), acq_freq=acq)
     _, out = jax.jit(lambda s, x: rx_stream(cfg, s, x))(state, noisy)
 
     if cfg.modulation == "qpsk":

@@ -12,6 +12,10 @@ Scenarios (select with --only, comma-separated; default = all):
   conv       -> per_vs_snr_coded.jsonl        (K=7 + soft Viterbi)
   ldpc       -> per_vs_snr_ldpc.jsonl         (IRA LDPC + min-sum)
   multipath  -> per_vs_snr_multipath.jsonl    (two-ray echo + 9-tap CMA)
+  bpsk       -> per_vs_snr_bpsk.jsonl         (generic family, uncoded)
+  8psk       -> per_vs_snr_8psk.jsonl         (generic family, uncoded)
+  8psk_conv  -> per_vs_snr_8psk_coded.jsonl   (score-matrix LLR soft path)
+  16qam      -> per_vs_snr_16qam.jsonl        (AGC on, uncoded)
 
 Usage: python tools/run_per_sweep.py [--only a,b] [docs_dir]
 (each scenario ~15-60 min on CPU)
@@ -95,6 +99,33 @@ def scenarios():
             tag={"fec": False, "multipath": "0:1.0,4:0.5", "eq_taps": 9},
             # CMA needs a convergence window before packets count
             skip_frames=20),
+        # generic modulation family (ops/modfam): same packet stack,
+        # uncoded floors ~3 dB apart per constellation step; conv-coded
+        # 8PSK rides the score-matrix LLR soft path
+        "bpsk": dict(cfg=ModemConfig(modulation="bpsk"),
+                     pcfg=PacketConfig(payload_bytes=30),
+                     snrs=[4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 11.0],
+                     nframes=350, seeds=(0, 1, 2), paths=None,
+                     fname="per_vs_snr_bpsk.jsonl",
+                     tag={"fec": False, "modulation": "bpsk"}),
+        "8psk": dict(cfg=ModemConfig(modulation="8psk"),
+                     pcfg=PacketConfig(payload_bytes=30),
+                     snrs=[14.0, 15.0, 16.0, 17.0, 18.0, 19.0, 20.0, 21.0],
+                     nframes=350, seeds=(0, 1, 2), paths=None,
+                     fname="per_vs_snr_8psk.jsonl",
+                     tag={"fec": False, "modulation": "8psk"}),
+        "8psk_conv": dict(cfg=ModemConfig(modulation="8psk"),
+                          pcfg=PacketConfig(payload_bytes=30, fec="conv"),
+                          snrs=[12.0, 13.0, 14.0, 15.0, 16.0, 17.0, 18.0],
+                          nframes=350, seeds=(0, 1, 2), paths=None,
+                          fname="per_vs_snr_8psk_coded.jsonl",
+                          tag={"fec": True, "modulation": "8psk"}),
+        "16qam": dict(cfg=ModemConfig(modulation="16qam", agc=True),
+                      pcfg=PacketConfig(payload_bytes=30),
+                      snrs=[16.0, 17.0, 18.0, 19.0, 20.0, 21.0, 22.0, 23.0],
+                      nframes=350, seeds=(0, 1, 2), paths=None,
+                      fname="per_vs_snr_16qam.jsonl",
+                      tag={"fec": False, "modulation": "16qam", "agc": True}),
     }
 
 
