@@ -503,7 +503,6 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     n = nframes * fsz
 
     if (cfg.costas_impl == "auto" and jax.default_backend() == "tpu"
-            and cfg.modulation == "qpsk"
             and (len(batch) == 0
                  or (len(batch) == 1 and batch[0] % 128 != 0))):
         return _rx_stream_fused_padded(cfg, state, pcm)
@@ -511,17 +510,14 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     params = costas_ops.costas_params(cfg.loop_bw, cfg.damping,
                                       cfg.min_freq, cfg.max_freq)
     gear = _gear_for(cfg)
-    if cfg.costas_impl == "pallas" and cfg.modulation != "qpsk":
-        # the fused kernel hardcodes the QPSK sign detector + diagonal
-        # slicer; silently running it for another constellation would be
-        # the silent-degradation class ops/timing.py warns about
-        raise ValueError(
-            f"costas_impl='pallas' implements QPSK only (got modulation="
-            f"{cfg.modulation!r}); use costas_impl='auto'")
+    # generic-family constellations run the kernel's decision-directed
+    # mode: detector constants via SMEM, bit-identical to the scan
+    # (modfam.dd_constants; ops/pallas/costas_kernel.py)
+    mod = _mod_for(cfg)
+    dd = (cfg.modulation, cfg.agc_target) if mod is not None else None
     use_pallas = cfg.costas_impl == "pallas" or (
         cfg.costas_impl == "auto"
         and jax.default_backend() == "tpu"
-        and cfg.modulation == "qpsk"
         and len(batch) == 1 and batch[0] % 128 == 0)
 
     if _use_tm_path(cfg, batch, fsz, nframes, use_pallas):
@@ -533,12 +529,14 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
         # the kernel also slices the diagonal constellation in-line
         # (packed dibits, 0.25 B/symbol): consumers that only need bits
         # never re-read the full-rate derot planes — the composed path is
-        # HBM-bound, so this is pure bandwidth back
-        emit_bits = not cfg.differential and cfg.slicer == "diagonal"
+        # HBM-bound, so this is pure bandwidth back.  QPSK only: generic
+        # constellations slice downstream from the derot planes.
+        emit_bits = (not cfg.differential and cfg.slicer == "diagonal"
+                     and mod is None)
         cstate, derot_tm, freq_frames, bits = \
             costas_kernel.costas_run_pallas_tm(
                 state.costas, zr, zi, params, gear=gear, trace_every=nsf,
-                emit_bits=emit_bits)
+                emit_bits=emit_bits, dd=dd)
         # (T, C) -> (C, T): a layout view the slicer/output consumers fuse
         derot = CF32(derot_tm.re.T, derot_tm.im.T)
         return _rx_stream_emit(cfg, state, derot, freq_frames, index,
@@ -613,7 +611,8 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
         # block-rate freq trace: only the frame-boundary values the
         # readback consumes are ever written (trace_every=nsf)
         cstate, derot, freq_frames = costas_kernel.costas_run_pallas_traced(
-            state.costas, symbols, params, gear=gear, trace_every=nsf)
+            state.costas, symbols, params, gear=gear, trace_every=nsf,
+            dd=dd)
     elif gear is not None:
         cstate, derot, freq_trace = costas_ops.costas_run_gear_traced(
             state.costas, symbols, params, gear, unroll=8)

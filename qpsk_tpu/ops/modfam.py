@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -257,6 +258,122 @@ def demod_soft_mod(sym: CF32, mod: Modulation, scale=1.0,
 # ---------------------------------------------------------------------------
 # decision-directed carrier-recovery error (the generic Costas detector)
 
+def dd_constants(mod: Modulation, scale=1.0) -> np.ndarray:
+    """Flat float32 detector constants — scaled constellation re/im,
+    |c|^2, then per-family extras — shared verbatim by the scan detector
+    and the fused Pallas kernel's DD mode (ops/pallas/costas_kernel.py):
+    both paths run ``dd_err_ops`` on the SAME float32 values.
+
+    Layout: ``[cre(M), cim(M), 1/p2(M)] + extras`` where extras is the
+    16QAM axis-decision threshold (one scalar) and empty otherwise."""
+    s = float(scale)
+    cre = (mod.points_re * np.float32(s)).astype(np.float32)
+    cim = (mod.points_im * np.float32(s)).astype(np.float32)
+    # INVERSE |c|^2: the error term multiplies by this instead of
+    # dividing — a division by a loop-invariant scalar is strength-
+    # reduced to a reciprocal multiply by some lowerings (Mosaic,
+    # per-variant) but not others (XLA:TPU), a 1-ULP slack that diverged
+    # the kernel from the scan on hardware; precomputing the inverse
+    # makes both paths multiply
+    ip2 = (np.float32(1.0)
+           / ((mod.points_re ** 2 + mod.points_im ** 2)
+              * np.float32(s * s) + np.float32(1e-12))).astype(np.float32)
+    extras = []
+    if mod.name == "16qam":
+        # inner/outer level boundary per axis: 2/sqrt(10) * scale
+        extras = [np.float32(np.float32(2.0 / np.sqrt(10.0))
+                             * np.float32(s))]
+    return np.concatenate([cre, cim, ip2, np.asarray(extras, np.float32)])
+
+
+def dd_err_ops(name: str, m: int, outr, outi, get, stage):
+    """The per-step decision-directed error, as ONE literal op program
+    shared by the ``lax.scan`` detector and the fused Pallas kernel — the
+    only way the two lowerings stay bit-identical on every backend.
+
+    Two hazards shape this code (both measured on v5e, CLAUDE.md):
+
+    * **Decisions use boundary-exact comparisons only** — sign and |a|>|b|
+      tests on the derotated symbol, never score arithmetic: a score like
+      ``2*(re*c + im*s) - p2`` contains a fusable mul-add whose FMA
+      contraction differs BETWEEN compilers (Mosaic vs XLA:TPU vs
+      XLA:CPU) and BETWEEN shapes, so score-compared decisions can flip
+      on near-ties one lowering sees and the other doesn't.  All three
+      family constellations decide exactly: BPSK by sign, 8PSK by octant
+      (sign(re), sign(im), |im|>|re| — its boundaries ARE the axes and
+      diagonals), 16QAM per-axis (sign + |axis|>threshold).
+    * **The error products are pinned** via ``stage(u, v)`` — a fusion
+      barrier (scan: ``lax.optimization_barrier``; kernel: a VMEM
+      store/load round trip) so ``(u - v) / c2`` is round(a*b),
+      round(c*d), subtract, scale everywhere: Mosaic otherwise
+      contracts the mul-sub into a single-rounded FMA, 1 ULP off XLA's
+      sequence, which diverges the trajectories from step one.  (QPSK's
+      sign detector never needs this: its products are by ±1, exact
+      under either contraction.)
+
+    ``get(i)`` reads the i-th ``dd_constants`` scalar (numpy closure in
+    the scan, SMEM params ref in the kernel); constants selected through
+    exact comparisons are identical in both, so the error arithmetic is
+    elementwise-identical.  Returns the error array.
+    """
+    def const_like(i):
+        return jnp.full_like(outr, get(i))
+
+    if name == "bpsk":
+        # labels: 0 -> +1, 1 -> -1 (cim = 0)
+        neg = outr < 0.0
+        cr = jnp.where(neg, const_like(1), const_like(0))
+        u, v = stage(outi * cr, outr * 0.0)
+        return (u - v) * const_like(2 * m)
+    if name == "8psk":
+        # octant decision: boundaries at the axes and diagonals, all
+        # exact comparisons; position k (sector [k*45deg, (k+1)*45deg))
+        # carries Gray label k ^ (k >> 1)
+        s_im = outi < 0.0
+        s_re = outr < 0.0
+        diag = jnp.abs(outi) > jnp.abs(outr)
+        octants = [  # (im<0, re<0, |im|>|re|) -> position
+            (False, False, False, 0), (False, False, True, 1),
+            (False, True, True, 2), (False, True, False, 3),
+            (True, True, False, 4), (True, True, True, 5),
+            (True, False, True, 6), (True, False, False, 7),
+        ]
+        lab0 = octants[0][3] ^ (octants[0][3] >> 1)
+        cr = const_like(lab0)
+        ci = const_like(m + lab0)
+        for a, b, c, k in octants[1:]:
+            mask = ((s_im if a else ~s_im) & (s_re if b else ~s_re)
+                    & (diag if c else ~diag))
+            lab = k ^ (k >> 1)
+            cr = jnp.where(mask, const_like(lab), cr)
+            ci = jnp.where(mask, const_like(m + lab), ci)
+        u, v = stage(outi * cr, outr * ci)
+        return (u - v) * const_like(2 * m)     # 1/|c|^2 uniform on the ring
+    if name == "16qam":
+        # per-axis Gray decision: level index by sign + threshold, labels
+        # (gray_I << 2) | gray_Q; |c|^2 selected per decided label
+        thr = const_like(3 * m)
+        axes = []
+        for val in (outr, outi):
+            neg = val < 0.0
+            far = jnp.abs(val) > thr
+            # level -> gray axis label (-3 -> 0, -1 -> 1, +1 -> 3, +3 -> 2)
+            axes.append(jnp.where(
+                neg, jnp.where(far, 0, 1), jnp.where(far, 2, 3)))
+        lab = (axes[0] << 2) | axes[1]
+        cr = const_like(0) * 0.0
+        ci = const_like(0) * 0.0
+        ic2 = const_like(0) * 0.0
+        for k in range(m):
+            mask = lab == k
+            cr = jnp.where(mask, const_like(k), cr)
+            ci = jnp.where(mask, const_like(m + k), ci)
+            ic2 = jnp.where(mask, const_like(2 * m + k), ic2)
+        u, v = stage(outi * cr, outr * ci)
+        return (u - v) * ic2
+    raise ValueError(f"no decision program for modulation {name!r}")
+
+
 def dd_detector(mod: Modulation, scale=1.0):
     """Decision-directed phase detector for ``ops.costas.costas_run``:
     ``err = Im(z * conj(c_hat)) / |c_hat|^2`` with ``c_hat`` the
@@ -266,27 +383,22 @@ def dd_detector(mod: Modulation, scale=1.0):
     sign-based detector (costas_loop.c:44-47, locks on the diagonals);
     this generic form covers the rest of the family (for 16QAM run the
     AGC so |z| matches ``scale`` — the ring decisions are scale-true).
-    The one-hot decision contraction keeps the scan step gather-free.
+    Bit-identical to the fused kernel's DD mode: see ``dd_err_ops``.
     """
-    s = float(scale)
     # NUMPY constants in the closure (each jit trace lifts them afresh):
     # capturing device arrays here would leak the first trace's tracers
     # through the lru_cache'd closure into later traces
-    cre = (mod.points_re * np.float32(s)).astype(np.float32)
-    cim = (mod.points_im * np.float32(s)).astype(np.float32)
-    p2 = ((mod.points_re ** 2 + mod.points_im ** 2)
-          * np.float32(s * s) + np.float32(1e-12)).astype(np.float32)
+    consts = dd_constants(mod, scale)
 
     def detector(z: CF32) -> jnp.ndarray:
-        score = (2.0 * (z.re[..., None] * cre + z.im[..., None] * cim)
-                 - p2)                                    # (..., M)
-        oh = (score == jnp.max(score, axis=-1, keepdims=True)).astype(
-            jnp.float32)
-        oh = oh / jnp.sum(oh, axis=-1, keepdims=True)     # tie-safe
-        cr = oh @ cre
-        ci = oh @ cim
-        c2 = oh @ p2
-        return (z.im * cr - z.re * ci) / c2
+        # stage = identity: XLA does not contract the products' mul-sub on
+        # TPU (measured — it matches numpy's mul/mul/sub), and in
+        # interpret mode the kernel runs under this same compiler, so
+        # structural identity IS bit identity.  Only the Mosaic lowering
+        # contracts, and the kernel stages its own side (scratch planes).
+        return dd_err_ops(mod.name, mod.M, z.re, z.im,
+                          get=lambda i: consts[i],
+                          stage=lambda u, v: (u, v))
 
     return detector
 

@@ -36,7 +36,8 @@ from qpsk_tpu.ops.cplx import CF32
 
 
 def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
-            trace_blocks: bool, emit_bits: bool):
+            trace_blocks: bool, emit_bits: bool, dd_kind: str,
+            dd_barrier: bool):
     # ref layout (gear fields only when gear=True):
     #   inputs:  phase0, freq0, [lev0, locked0]
     #   outputs: out_re, out_im, freq_trace, phase_out, freq_out,
@@ -56,6 +57,11 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
         pk_ref = outs[3 + ns]     # (tt//16, sg, LT) packed dibits (last out)
         pk_s = scr[-1]            # (sg, LT) int32 accumulator
         scr = scr[:-1]
+    if dd_kind:
+        # two (sg, LT) f32 staging planes for the DD error products (see
+        # the dd branch below)
+        du_s, dv_s = scr[-2], scr[-1]
+        scr = scr[:-2]
 
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -71,6 +77,13 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
         gamma = params_ref[6]
         enter = params_ref[7]
         exit_ = params_ref[8]
+    if dd_kind:
+        # hoist the detector constants out of the serial loop (SMEM reads
+        # inside the per-symbol step would re-issue every iteration)
+        from qpsk_tpu.ops.modfam import get as _mod_get
+        _m = _mod_get(dd_kind).M
+        _n_dd = 3 * _m + (1 if dd_kind == "16qam" else 0)
+        dd_c = [params_ref[4 + i] for i in range(_n_dd)]
 
     @pl.when(j == 0)
     def _():
@@ -89,7 +102,7 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
         outi = zi * c - zr * s
         or_ref[pl.ds(t * sg, sg), :] = outr
         oi_ref[pl.ds(t * sg, sg), :] = outi
-        if gear or emit_bits:
+        if gear or emit_bits or dd_kind:
             # re-read the STORED derotation so downstream consumers (the
             # gear errn path, the packed-bit signs) see the very bits the
             # output (and the scan twin + XLA slicer) sees: XLA otherwise
@@ -115,10 +128,36 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
             @pl.when(jm == 15)
             def _(t=t):
                 pk_ref[t // 16, :, :] = pk_s[:, :]
-        # decision-directed error (costas_loop.c:44-47)
-        sr = jnp.where(outr > 0.0, 1.0, -1.0).astype(jnp.float32)
-        si = jnp.where(outi > 0.0, 1.0, -1.0).astype(jnp.float32)
-        err = sr * outi - si * outr
+        if dd_kind:
+            # generic decision-directed error: ONE literal op program
+            # shared with the lax.scan detector (modfam.dd_err_ops) —
+            # boundary-exact comparison decisions plus pinned error
+            # products, the only combination measured to stay
+            # bit-identical across Mosaic / XLA:TPU / XLA:CPU (FMA
+            # contraction of ``a*b - c*d`` and of score mul-adds differs
+            # between compilers AND shapes).  Constants ride the SMEM
+            # params vector (kernels can't capture arrays); the staging
+            # planes are the Mosaic-side fusion barrier (the gear errn
+            # trick).  Under interpret mode the kernel compiles with the
+            # SAME XLA backend as the scan, so stage is identity there —
+            # structural identity is bit identity, and staging would
+            # itself move fusion boundaries.
+            from qpsk_tpu.ops.modfam import dd_err_ops
+
+            def stage(u, v):
+                if dd_barrier:          # interpret: same compiler as scan
+                    return u, v
+                du_s[:, :] = u
+                dv_s[:, :] = v
+                return du_s[:, :], dv_s[:, :]
+
+            err = dd_err_ops(dd_kind, _m, outr, outi,
+                             get=lambda i: dd_c[i], stage=stage)
+        else:
+            # QPSK sign error (costas_loop.c:44-47)
+            sr = jnp.where(outr > 0.0, 1.0, -1.0).astype(jnp.float32)
+            si = jnp.where(outi > 0.0, 1.0, -1.0).astype(jnp.float32)
+            err = sr * outi - si * outr
         if gear:
             # lock detector + gear select (ops/costas.py costas_step_gear)
             errn = jnp.abs(err) / (jnp.abs(outr) + jnp.abs(outi)
@@ -178,11 +217,11 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
 
 @functools.partial(jax.jit, static_argnames=("sg", "lt", "tt", "gear",
                                              "trace_blocks", "emit_bits",
-                                             "interpret"))
+                                             "dd_kind", "interpret"))
 def _costas_pallas_tc(zr, zi, state0, params_vec,
                       sg: int, lt: int, tt: int, gear: bool = False,
                       trace_blocks: bool = False, emit_bits: bool = False,
-                      interpret: bool = False):
+                      dd_kind: str = "", interpret: bool = False):
     """Time-major kernel launch: zr/zi are (T*sg, C/sg) — each time step's
     C channels folded into sg sublane rows of L = C/sg lanes; state0 =
     tuple of (sg, L) state planes (phase, freq[, lev, locked]).  With
@@ -214,6 +253,8 @@ def _costas_pallas_tc(zr, zi, state0, params_vec,
     ) + (jax.ShapeDtypeStruct((sg, ll), jnp.float32),) * ns   # final state
     out_specs = (block_spec, block_spec, trace_spec) + (state_spec,) * ns
     scratch = [pltpu.VMEM((sg, lt), jnp.float32)] * ns
+    if dd_kind:
+        scratch = scratch + [pltpu.VMEM((sg, lt), jnp.float32)] * 2
     if emit_bits:
         assert tt % 16 == 0, tt
         out_shapes = out_shapes + (
@@ -224,7 +265,8 @@ def _costas_pallas_tc(zr, zi, state0, params_vec,
         scratch = scratch + [pltpu.VMEM((sg, lt), jnp.int32)]
     return pl.pallas_call(
         functools.partial(_kernel, gear=gear, sg=sg,
-                          trace_blocks=trace_blocks, emit_bits=emit_bits),
+                          trace_blocks=trace_blocks, emit_bits=emit_bits,
+                          dd_kind=dd_kind, dd_barrier=interpret),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # params (4,) / (9,)
@@ -295,6 +337,7 @@ def costas_run_pallas_tm(state: CostasState, zr_tm: jnp.ndarray,
                          gear: CostasGear | None = None,
                          trace_every: int | None = None,
                          emit_bits: bool = False,
+                         dd=None,
                          interpret: bool = False):
     """Time-major entry: consumes (T, C) symbol planes DIRECTLY (the layout
     the fused front-end kernel emits, ops/pallas/frontend_kernel.py
@@ -328,12 +371,26 @@ def costas_run_pallas_tm(state: CostasState, zr_tm: jnp.ndarray,
             tt //= 2
     ll = c // sg
     base = [params.alpha, params.beta, params.min_freq, params.max_freq]
+    dd_kind = ""
     if gear is not None:
+        assert dd is None, "gear mode is QPSK-only (config validation)"
         assert state.lev is not None and state.locked is not None, \
             "gear mode needs costas_init(..., gear=True) state"
         params_vec = jnp.stack(base + [gear.alpha_trk, gear.beta_trk,
                                        gear.gamma, gear.enter, gear.exit])
         state0 = (state.phase, state.freq, state.lev, state.locked)
+    elif dd is not None:
+        # generic decision-directed mode: ``dd`` = (modulation name,
+        # constellation scale); the flat dd_constants vector rides the
+        # SMEM params after the four loop gains (modfam.dd_err_ops
+        # indexes it via get(i) = params[4 + i])
+        assert not emit_bits, "emit_bits is the QPSK diagonal slicer"
+        from qpsk_tpu.ops import modfam
+        dd_kind, dd_scale = dd
+        consts = modfam.dd_constants(modfam.get(dd_kind), dd_scale)
+        params_vec = jnp.concatenate([jnp.stack(base),
+                                      jnp.asarray(consts, jnp.float32)])
+        state0 = (state.phase, state.freq)
     else:
         params_vec = jnp.stack(base)
         state0 = (state.phase, state.freq)
@@ -345,7 +402,7 @@ def costas_run_pallas_tm(state: CostasState, zr_tm: jnp.ndarray,
     out = _costas_pallas_tc(zr, zi, state0, params_vec, sg=sg, lt=lt, tt=tt,
                             gear=gear is not None,
                             trace_blocks=trace_every is not None,
-                            emit_bits=emit_bits,
+                            emit_bits=emit_bits, dd_kind=dd_kind,
                             interpret=interpret)
     outr, outi = (a.reshape(t, c) for a in out[:2])
     if trace_every is None:
@@ -371,15 +428,18 @@ def costas_run_pallas_traced(state: CostasState, symbols: CF32,
                              params: CostasParams,
                              gear: CostasGear | None = None,
                              trace_every: int | None = None,
+                             dd=None,
                              interpret: bool = False):
     """Pallas twin of ``costas_run_traced`` / ``costas_run_gear_traced``:
     also returns the post-update frequency trace (rad/symbol) — per symbol
     (C, T), or (C, T // trace_every) when ``trace_every`` is set (see
-    ``costas_run_pallas_tm``)."""
+    ``costas_run_pallas_tm``).  ``dd`` = (3, M) ``modfam.dd_constants``
+    switches the phase detector to the generic decision-directed error
+    (bit-identical to ``costas_run(..., detector=modfam.dd_detector)``)."""
     c, t = symbols.re.shape
     # fold channels onto sublanes: (C, T) -> (T, C) [-> (T*sg, C/sg) inside,
     # a free reshape], with channel ch = s*L + l on sublane-group s, lane l
     new_state, derot_tm, ftrace, _ = costas_run_pallas_tm(
         state, symbols.re.T, symbols.im.T, params, gear=gear,
-        trace_every=trace_every, interpret=interpret)
+        trace_every=trace_every, dd=dd, interpret=interpret)
     return new_state, CF32(derot_tm.re.T, derot_tm.im.T), ftrace
