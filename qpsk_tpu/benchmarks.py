@@ -188,7 +188,7 @@ def rx_throughput(channels: int | None = None, frames: int | None = None,
     dt = _time_chained(step, state, pcm, iters)
     sps = nsamples * inner * iters / dt
     per_chip_target = 100e6 / 8.0
-    return {
+    rec = {
         "metric": "rx_demod_throughput",
         "value": round(sps, 1),
         "unit": "samples/s",
@@ -197,6 +197,9 @@ def rx_throughput(channels: int | None = None, frames: int | None = None,
         "devices": ndev,
         "channels": channels,
     }
+    if cfg.modulation != "qpsk":
+        rec["modulation"] = cfg.modulation
+    return rec
 
 
 def frontend_throughput(impl: str = "pallas", channels: int | None = None,

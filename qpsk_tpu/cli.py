@@ -171,26 +171,44 @@ def cmd_loopback(args) -> int:
     bps = cfg.bits_per_symbol
     skip_bits = skip * pcfg.frame_bits
     skip_bits -= skip_bits % bps
-    sync = find_sync(pcfg, bits[skip_bits:], max_lag=default_max_lag(pcfg),
-                     probe_frames=4, modulation=cfg.modulation)
-    navail = (bits.size - skip_bits - int(sync.bit_lag)) // pcfg.frame_bits
-    # sustained clock drift can wrap the timing phase and slip the symbol
-    # grid: let the tracked extractors walk the bit-lag too
-    max_slip = 2 if getattr(args, "clock_ppm", 0.0) else 0
-    if args.fec and not cfg.differential:
-        # soft-decision extraction (LLRs from the demod symbols)
+    use_soft = args.fec and not cfg.differential
+    llrs = scores = None
+    if use_soft:
+        # soft source first: both the sync hunt and the extraction run
+        # soft-decision (the hard-input hunt limits acquisition ~2 dB
+        # above the soft decode floor — sync.find_sync_streams)
+        from qpsk_tpu.sync import (_mod_geometry, find_sync_streams,
+                                   rotate_soft, rotated_streams)
         if cfg.modulation == "qpsk":
             from qpsk_tpu.ops.modmap import demod_soft
             llrs = demod_soft(CF32(out.symbols.re.reshape(-1),
                                    out.symbols.im.reshape(-1)))
-            rx = extract_packets_soft_tracked(
-                pcfg, llrs[skip_bits:], sync, navail, max_slip=max_slip)
+            rows = jnp.stack([rotate_soft(llrs[skip_bits:], r)
+                              for r in range(4)])
         else:
             from qpsk_tpu.ops import modfam
-            from qpsk_tpu.sync import extract_packets_soft_tracked_mod
             scores = modfam.symbol_scores(
                 CF32(out.symbols.re.reshape(-1), out.symbols.im.reshape(-1)),
                 modfam.get(cfg.modulation), scale=cfg.agc_target)
+            rows = rotated_streams(None, cfg.modulation,
+                                   soft=scores[skip_bits // bps:])
+        sync = find_sync_streams(pcfg, rows, max_lag=default_max_lag(pcfg),
+                                 probe_frames=4, soft=True,
+                                 lag_step=_mod_geometry(cfg.modulation)[2])
+    else:
+        sync = find_sync(pcfg, bits[skip_bits:],
+                         max_lag=default_max_lag(pcfg), probe_frames=4,
+                         modulation=cfg.modulation)
+    navail = (bits.size - skip_bits - int(sync.bit_lag)) // pcfg.frame_bits
+    # sustained clock drift can wrap the timing phase and slip the symbol
+    # grid: let the tracked extractors walk the bit-lag too
+    max_slip = 2 if getattr(args, "clock_ppm", 0.0) else 0
+    if use_soft:
+        if cfg.modulation == "qpsk":
+            rx = extract_packets_soft_tracked(
+                pcfg, llrs[skip_bits:], sync, navail, max_slip=max_slip)
+        else:
+            from qpsk_tpu.sync import extract_packets_soft_tracked_mod
             rx = extract_packets_soft_tracked_mod(
                 pcfg, scores[skip_bits // bps:], sync, navail,
                 cfg.modulation, max_slip=max_slip)
@@ -751,6 +769,7 @@ def main(argv=None) -> int:
 
     def _bench(a) -> int:
         from qpsk_tpu import benchmarks as B
+        from qpsk_tpu.config import ModemConfig as _MC
         suites = {
             "rx": B.rx_throughput,
             "tx": B.tx_throughput,
@@ -763,6 +782,10 @@ def main(argv=None) -> int:
             "serial": B.single_stream_serial_throughput,
             "blockparallel": B.single_stream_blockparallel_throughput,
             "fdm": B.fdm_throughput,
+            # generic family end-to-end (fused front-end + DD kernel)
+            "modfam": lambda: [
+                B.rx_throughput(cfg=_MC(modulation="8psk")),
+                B.rx_throughput(cfg=_MC(modulation="16qam", agc=True))],
         }
         if a.suite == "scaling":
             for rec in B.scaling_efficiency():
@@ -778,8 +801,8 @@ def main(argv=None) -> int:
     be = sub.add_parser("bench", help="throughput benchmark")
     be.add_argument("--suite", type=str, default="rx",
                     choices=["rx", "tx", "frontend", "costas", "fec",
-                             "serial", "blockparallel", "fdm", "scaling",
-                             "all"],
+                             "serial", "blockparallel", "fdm", "modfam",
+                             "scaling", "all"],
                     help="which benchmark to run (all = every throughput "
                          "suite; scaling = weak-scaling efficiency sweep)")
     be.set_defaults(fn=_bench)

@@ -21,9 +21,11 @@ from qpsk_tpu.ops.cplx import CF32
 from qpsk_tpu.ops.modmap import demod_soft
 from qpsk_tpu.packet import PacketConfig, assemble_packet
 from qpsk_tpu.state import rx_init, tx_init
-from qpsk_tpu.sync import (default_max_lag, extract_packets_soft_tracked,
+from qpsk_tpu.sync import (_mod_geometry, default_max_lag,
+                           extract_packets_soft_tracked,
                            extract_packets_soft_tracked_mod,
-                           extract_packets_tracked, find_sync)
+                           extract_packets_tracked, find_sync,
+                           find_sync_streams, rotate_soft, rotated_streams)
 
 
 def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
@@ -110,8 +112,22 @@ def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
     skip_syms = skip_bits // cfg.bits_per_symbol
     for i in range(ns):
         stream = jnp.asarray(bits[i, skip_bits:])
-        sync = find_sync(pcfg, stream, max_lag=default_max_lag(pcfg),
-                         probe_frames=4, modulation=cfg.modulation)
+        if use_soft:
+            # soft-decision sync hunt: the hard-input hunt misses ~2 dB
+            # above the soft decode floor (see find_sync_streams)
+            if cfg.modulation == "qpsk":
+                llrs_i = jnp.asarray(soft_src[i, skip_bits:])
+                rows = jnp.stack([rotate_soft(llrs_i, r) for r in range(4)])
+            else:
+                rows = rotated_streams(
+                    None, cfg.modulation,
+                    soft=jnp.asarray(soft_src[i, skip_syms:]))
+            sync = find_sync_streams(
+                pcfg, rows, max_lag=default_max_lag(pcfg), probe_frames=4,
+                lag_step=_mod_geometry(cfg.modulation)[2], soft=True)
+        else:
+            sync = find_sync(pcfg, stream, max_lag=default_max_lag(pcfg),
+                             probe_frames=4, modulation=cfg.modulation)
         navail = (stream.shape[0] - int(sync.bit_lag)) // pcfg.frame_bits
         rec = {"snr_db": float(snr[i]), "evm_rms": float(evm_rms[i]),
                "detected_hz": float(det[i]), "sync_score": int(sync.score),

@@ -241,16 +241,21 @@ def rx_acquire_hz(cfg: ModemConfig, pcm: jnp.ndarray) -> jnp.ndarray:
     """
     from qpsk_tpu.ops.modfam import ACQUIRE_POWER
     power = ACQUIRE_POWER[cfg.modulation]
-    # weak-line modulations need 4x the coherent integration: the 8PSK
-    # 8th-power strip amplifies RRC inter-symbol samples into a noise
-    # floor that buries the 8f line at nfft=512, and the 16QAM 4th-power
-    # line is itself weak (E[c^4] = -0.68 vs 1.0 for QPSK) — measured:
-    # nfft=512 mis-acquires by >100 Hz on some data, 2048 is accurate to
-    # ~0.2 Hz across the +/-150 Hz chain range for both
-    nfft_want = cfg.nfft * (4 if cfg.modulation in ("8psk", "16qam") else 1)
+    # weak-line modulations need 4x the coherent integration AND Welch
+    # averaging: the 8PSK 8th-power strip amplifies RRC inter-symbol
+    # samples into a noise floor that buries the 8f line at nfft=512
+    # (and the 16QAM 4th-power line is itself weak, E[c^4] = -0.68 vs
+    # 1.0 for QPSK) — 2048-point blocks fix the floor, but single-block
+    # peak picks still swapped to image/harmonic lines on ~1/3 of
+    # (seed, SNR) draws at 10-18 dB; averaging the PSD over up to 8
+    # blocks recovered every measured case (ops/acquire.acquire_freq_hz)
+    generic = cfg.modulation in ("8psk", "16qam")
+    nfft_want = cfg.nfft * (4 if generic else 1)
+    avg_want = 8 if generic else 1
     flat = pcm.reshape(pcm.shape[:-2] + (-1,)) if pcm.ndim >= 2 else pcm
     block = _pick_block(cfg.frame_size)
-    n = min(flat.shape[-1], max(4 * cfg.nfft, nfft_want + 2 * block, block))
+    n = min(flat.shape[-1],
+            max(4 * cfg.nfft, avg_want * nfft_want + 2 * block, block))
     n -= n % block
     if n == 0:
         raise ValueError(
@@ -265,11 +270,14 @@ def rx_acquire_hz(cfg: ModemConfig, pcm: jnp.ndarray) -> jnp.ndarray:
         cfg.gain, block)
     from qpsk_tpu.ops import acquire
     nfft = min(nfft_want, n)
-    # skip the filter's fill-in transient
-    start = min(cfg.ntaps, n - nfft)
+    # skip the filter's fill-in transient, then as many whole PSD blocks
+    # as the stream affords (short flush buckets degrade to avg=1)
+    start = min(cfg.ntaps, max(0, n - nfft))
+    avg = max(1, min(avg_want, (n - start) // nfft))
     return acquire.acquire_freq_hz(
-        CF32(x.re[..., start:start + nfft], x.im[..., start:start + nfft]),
-        cfg.fs, nfft=nfft, power=power)
+        CF32(x.re[..., start:start + avg * nfft],
+             x.im[..., start:start + avg * nfft]),
+        cfg.fs, nfft=nfft, power=power, avg=avg)
 
 
 def rx_frame(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):

@@ -349,10 +349,16 @@ class StreamDemodulator:
         while True:
             if self._bit_buf.shape[1] - self.sync_skip < probe_bits:
                 return False
-            streams = jnp.asarray(self._bit_buf[:, self.sync_skip:])
+            # soft hunt when the LLR rows exist: the hard-input hunt is
+            # what limits a coded link's acquisition SNR (find_sync_streams)
+            if self._use_soft:
+                streams = jnp.asarray(self._llr_buf[:, self.sync_skip:])
+            else:
+                streams = jnp.asarray(self._bit_buf[:, self.sync_skip:])
             sync = find_sync_streams(self.pcfg, streams, max_lag=window,
                                      probe_frames=self.probe_frames,
-                                     lag_step=self._lag_step)
+                                     lag_step=self._lag_step,
+                                     soft=self._use_soft)
             if int(sync.score) >= max(2, self.probe_frames - 1):
                 # consume everything before the first aligned packet
                 cut = self.sync_skip + int(sync.bit_lag)

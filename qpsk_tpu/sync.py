@@ -168,13 +168,21 @@ def find_sync(pcfg: PacketConfig, bits: jnp.ndarray, max_lag: int = 512,
 
 def find_sync_streams(pcfg: PacketConfig, streams: jnp.ndarray,
                       max_lag: int = 512, probe_frames: int = 4,
-                      lag_step: int = 2) -> SyncResult:
+                      lag_step: int = 2, soft: bool = False) -> SyncResult:
     """``find_sync`` over PRE-ROTATED streams (R, n) — each row is the
     demod stream re-sliced under one rotation hypothesis
     (``rotated_streams``).  The streaming runtime buffers these rows so
     arbitrary bit-offset consumption never disturbs the per-symbol
     rotation grouping (a raw generic-family stream can only be rotated
-    from a symbol-aligned head)."""
+    from a symbol-aligned head).
+
+    ``soft``: the rows are per-rotation LLR streams and the conv-coded
+    probe decodes SOFT-input Viterbi — the coded PER sweeps showed the
+    hard-input hunt is what limits a coded link's low-SNR end (seeds
+    decoded clean wherever they synced, but ~2 dB above the soft decode
+    floor the hunt itself starts missing); soft scoring costs the same
+    trellis work per hypothesis as the hard hunt already pays.  LDPC
+    sync stays the decode-free syndrome metric (on the LLR signs)."""
     fb = pcfg.frame_bits
     nrot = streams.shape[0]
     # clamp the lag search to what the stream can support
@@ -190,6 +198,16 @@ def find_sync_streams(pcfg: PacketConfig, streams: jnp.ndarray,
     # all rotations of every lag window: (R, L, W)
     cand = streams[:, lags[:, None] + window[None, :]]
     frames = cand.reshape(nrot, lags.shape[0], probe_frames, fb)
+    if soft and pcfg.fec_kind != "ldpc":
+        ok = disassemble_packet_soft(pcfg, frames).crc_ok      # (R, L, P)
+        score = ok.sum(-1).astype(jnp.int32)                   # (R, L)
+        flat = jnp.argmax(score)
+        r = (flat // lags.shape[0]).astype(jnp.int32)
+        li = flat % lags.shape[0]
+        return SyncResult(rotation=r, bit_lag=lags[li],
+                          score=score.reshape(-1)[flat])
+    if soft:
+        frames = jnp.where(frames < 0, 1, 0)   # LLR signs -> hard bits
     if pcfg.fec_kind == "ldpc":
         # decode-free sync: the parity-check syndrome weight of the
         # unwrapped hard bits separates aligned (~0.16*m at operating SNR)

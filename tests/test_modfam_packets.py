@@ -130,3 +130,21 @@ def test_per_vs_snr_uncoded_8psk_curve():
                       seed=2)
     assert recs[1]["per"] <= recs[0]["per"]
     assert recs[1]["per"] < 0.1, recs[1]
+
+
+def test_soft_sync_hunt_beats_hard_at_low_snr():
+    """The coded sweep showed seeds failing to SYNC (score 0/1) at
+    12-14 dB while any seed that synced decoded clean — the hard-input
+    hunt, not the soft decode, was the low-SNR limiter.  The soft hunt
+    (find_sync_streams(soft=True), wired through eval/CLI/runtime) must
+    acquire at the settings where the hard hunt measurably missed:
+    8PSK + conv at 13 dB, seeds 0 and 2 (per_vs_snr_8psk_coded.jsonl
+    per-seed records)."""
+    cfg = _cfg("8psk")
+    pcfg = PacketConfig(payload_bytes=30, fec=True)
+    for seed in (0, 2):
+        recs = per_vs_snr(cfg, pcfg, (13.0,), nframes=120, offset_hz=50.0,
+                          seed=seed)
+        assert recs[0]["sync_score"] > 0, (seed, recs[0])
+        assert recs[0]["packets"] > 100, (seed, recs[0])
+        assert recs[0]["per"] <= 0.06, (seed, recs[0])
