@@ -116,7 +116,8 @@ def scenarios():
                      tag={"fec": False, "modulation": "8psk"}),
         "8psk_conv": dict(cfg=ModemConfig(modulation="8psk"),
                           pcfg=PacketConfig(payload_bytes=30, fec="conv"),
-                          snrs=[12.0, 13.0, 14.0, 15.0, 16.0, 17.0, 18.0],
+                          snrs=[10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0,
+                                17.0, 18.0],
                           nframes=350, seeds=(0, 1, 2), paths=None,
                           fname="per_vs_snr_8psk_coded.jsonl",
                           tag={"fec": True, "modulation": "8psk"}),
