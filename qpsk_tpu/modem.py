@@ -99,8 +99,12 @@ def _slice_bits(cfg: ModemConfig, derot: CF32) -> jnp.ndarray:
     """Hard-slice derotated symbols per the config's modulation/slicer."""
     mod = _mod_for(cfg)
     if mod is not None:
+        # comparison-program slicer: the decision the DD loop itself makes,
+        # and the one the fused kernel's packed-label emission replicates
+        # bit-for-bit (modfam.slice_labels_cmp; score-argmax decisions are
+        # not portable across lowerings — CLAUDE.md)
         from qpsk_tpu.ops import modfam
-        return modfam.demod_bits_mod(derot, mod, scale=cfg.agc_target)
+        return modfam.demod_bits_cmp(derot, mod, scale=cfg.agc_target)
     if cfg.slicer == "diagonal":
         return modmap.demod_bits(derot)
     return modmap.demod_bits_reference(derot)
@@ -458,9 +462,12 @@ def _use_tm_path(cfg: ModemConfig, batch, fsz: int, nframes: int,
     """The zero-glue fast path: front-end kernel emits one-frame-delayed,
     TIME-MAJOR picks straight into the fused Costas kernel — no host delay
     concat, no (C, T) fold transpose, block-rate freq trace.  Needs both
-    kernels engaged and no stage (AGC / CMA equalizer) between them."""
+    kernels engaged; the frame-rate AGC rides it (gains computed from the
+    tm planes, applied in-register by the Costas kernel — ops/agc.py),
+    but the CMA equalizer is a real filtering stage and still forces the
+    composed path."""
     from qpsk_tpu.ops.pallas.frontend_kernel import frontend_tm_supported
-    if not use_pallas_costas or cfg.agc or cfg.eq_taps > 0:
+    if not use_pallas_costas or cfg.eq_taps > 0:
         return False
     if cfg.frontend_impl not in ("auto", "pallas"):
         return False
@@ -534,22 +541,34 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
         zr, zi, index, nco_phase, fir_tail, decim_delay = \
             rx_frontend_fused_tm(cfg, pcm, state.nco_phase, state.fir_tail,
                                  state.decim_delay)
-        # the kernel also slices the diagonal constellation in-line
-        # (packed dibits, 0.25 B/symbol): consumers that only need bits
-        # never re-read the full-rate derot planes — the composed path is
-        # HBM-bound, so this is pure bandwidth back.  QPSK only: generic
-        # constellations slice downstream from the derot planes.
+        agc_state = state.agc
+        gains = None
+        if cfg.agc:
+            # frame-rate AGC on the zero-glue path: gains computed from
+            # the tm planes (bit-identical to the composed agc_stream,
+            # ops/agc.py) and applied in-register by the Costas kernel
+            from qpsk_tpu.ops import agc as agc_ops
+            agc_state, gains = agc_ops.agc_gains_tm(
+                state.agc, zr, zi, nframes, cfg.agc_target, cfg.agc_mu)
+        # the kernel also slices the constellation in-line: QPSK's
+        # diagonal slicer emits packed dibits (0.25 B/symbol), the generic
+        # family's DD mode emits packed Gray labels (0.5 B/symbol) —
+        # consumers that only need bits never re-read the full-rate derot
+        # planes, and the composed path is HBM-bound, so this is pure
+        # bandwidth back.
         emit_bits = (not cfg.differential and cfg.slicer == "diagonal"
                      and mod is None)
+        emit_label = not cfg.differential and mod is not None
         cstate, derot_tm, freq_frames, bits = \
             costas_kernel.costas_run_pallas_tm(
                 state.costas, zr, zi, params, gear=gear, trace_every=nsf,
-                emit_bits=emit_bits, dd=dd)
+                emit_bits=emit_bits, emit_label=emit_label, dd=dd,
+                gains=gains)
         # (T, C) -> (C, T): a layout view the slicer/output consumers fuse
         derot = CF32(derot_tm.re.T, derot_tm.im.T)
         return _rx_stream_emit(cfg, state, derot, freq_frames, index,
                                cstate, nco_phase, fir_tail, decim_delay,
-                               state.timing, state.agc, state.eq,
+                               state.timing, agc_state, state.eq,
                                batch, nframes, nsf, bits=bits)
 
     timing_state = state.timing
@@ -614,6 +633,20 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
 
     symbols = CF32(delayed.re.reshape(batch + (nframes * nsf,)),
                    delayed.im.reshape(batch + (nframes * nsf,)))
+    if use_pallas and mod is not None and not cfg.differential:
+        # generic family on the composed kernel path: run the tm entry
+        # directly so the DD mode's packed-label slicer engages here too
+        # (same transpose fold costas_run_pallas_traced performs)
+        from qpsk_tpu.ops.pallas import costas_kernel
+        cstate, derot_tm, freq_frames, bits = \
+            costas_kernel.costas_run_pallas_tm(
+                state.costas, symbols.re.T, symbols.im.T, params,
+                trace_every=nsf, emit_label=True, dd=dd)
+        derot = CF32(derot_tm.re.T, derot_tm.im.T)
+        return _rx_stream_emit(cfg, state, derot, freq_frames, index,
+                               cstate, nco_phase, fir_tail, decim_delay,
+                               timing_state, agc_state, eq_state,
+                               batch, nframes, nsf, bits=bits)
     if use_pallas:
         from qpsk_tpu.ops.pallas import costas_kernel
         # block-rate freq trace: only the frame-boundary values the

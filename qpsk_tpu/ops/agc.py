@@ -26,12 +26,25 @@ equalizer / Costas loop.
 State is a single (...,) float32 smoothed-RMS estimate; 0 means "unset"
 (the first frame seeds it with its own measurement — instant coarse
 acquisition, then ``mu``-smoothed tracking).
+
+**Cross-lowering determinism** (round 4): the zero-glue tm path applies
+the gains INSIDE the fused Costas kernel (``costas_run_pallas_tm(gains=)``)
+while the composed path scales the symbol planes in XLA, and a 1-ULP gain
+difference between the two would diverge the carrier-loop trajectories
+from that frame on (the DD-kernel hazard class, CLAUDE.md).  So every
+value-producing reduction here is a FIXED expression tree of elementwise
+ops — a halving-tree power sum (layout cannot reorder elementwise adds,
+unlike an XLA ``reduce``) with the squares and the one-pole update's
+product pinned by ``lax.optimization_barrier`` (FMA contraction is
+per-compilation-context even within one compiler).  Both paths then feed
+bit-identical gains into one IEEE multiply per symbol.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from qpsk_tpu.ops.cplx import CF32
 
@@ -42,6 +55,39 @@ def agc_init(batch_shape=()) -> jnp.ndarray:
     return jnp.zeros(batch_shape, jnp.float32)
 
 
+def _frame_power(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
+    """Mean |z|^2 over the last (symbol) axis as a fixed halving tree of
+    elementwise adds — bit-identical for any memory layout of the same
+    logical values (an XLA ``reduce`` is free to pick a layout-dependent
+    summation order; elementwise adds are not).  The squares are staged
+    through an optimization barrier so ``re*re + im*im`` cannot
+    FMA-contract differently between compilation contexts."""
+    pr, pi = jax.lax.optimization_barrier((re * re, im * im))
+    p = pr + pi
+    n = p.shape[-1]
+    inv = np.float32(1.0 / n)
+    while n > 1 and n % 2 == 0:
+        p = p.reshape(p.shape[:-1] + (n // 2, 2))
+        p = p[..., 0] + p[..., 1]
+        n //= 2
+    if n > 1:   # odd residue (no real config: nsym/frame is a power of 2)
+        p = jnp.sum(p, axis=-1)
+    else:
+        p = p[..., 0]
+    return p * inv
+
+
+def _est_update(rms_est: jnp.ndarray, rms: jnp.ndarray, mu: float):
+    """One-pole smoothed-RMS update; 0 estimate seeds from the measurement.
+    The ``mu * (rms - est)`` product is barrier-pinned (see module doc)."""
+    d = jax.lax.optimization_barrier(jnp.float32(mu) * (rms - rms_est))
+    return jnp.where(rms_est > 0.0, rms_est + d, rms)
+
+
+def _gain(est: jnp.ndarray, target: float) -> jnp.ndarray:
+    return jnp.float32(target) / jnp.maximum(est, 1e-6)
+
+
 def agc_frame(rms_est: jnp.ndarray, frame: CF32, target: float, mu: float):
     """Scale one (..., nsym) frame of symbols to the target RMS.
 
@@ -50,14 +96,28 @@ def agc_frame(rms_est: jnp.ndarray, frame: CF32, target: float, mu: float):
     cold start is already corrected by its own measurement rather than
     passing through at the wrong level.
     """
-    p = jnp.mean(frame.re * frame.re + frame.im * frame.im, axis=-1)
+    p = _frame_power(frame.re, frame.im)
     rms = jnp.sqrt(p + 1e-12)
-    est = jnp.where(rms_est > 0.0,
-                    rms_est + jnp.float32(mu) * (rms - rms_est),
-                    rms)
-    g = jnp.float32(target) / jnp.maximum(est, 1e-6)
-    gx = g[..., None]
+    est = _est_update(rms_est, rms, mu)
+    gx = _gain(est, target)[..., None]
     return est, CF32(frame.re * gx, frame.im * gx)
+
+
+def agc_gains(rms_est: jnp.ndarray, power: jnp.ndarray, target: float,
+              mu: float):
+    """Run the gain recursion over per-frame powers (..., nframes).
+
+    Returns (new_rms_est, gains (..., nframes)) — the shared core of
+    ``agc_stream`` (which then scales in XLA) and ``agc_gains_tm`` (which
+    hands the gains to the fused Costas kernel to apply in-register)."""
+
+    def step(est, p):
+        rms = jnp.sqrt(p + 1e-12)
+        est = _est_update(est, rms, mu)
+        return est, _gain(est, target)
+
+    rms_est, g = jax.lax.scan(step, rms_est, jnp.moveaxis(power, -1, 0))
+    return rms_est, jnp.moveaxis(g, 0, -1)
 
 
 def agc_stream(rms_est: jnp.ndarray, frames: CF32, target: float, mu: float):
@@ -66,11 +126,27 @@ def agc_stream(rms_est: jnp.ndarray, frames: CF32, target: float, mu: float):
     The per-symbol math is batched; only the scalar gain estimate scans
     over the frame axis.  Returns (new_rms_est, scaled (..., nframes, nsym)).
     """
+    p = _frame_power(frames.re, frames.im)          # (..., nframes)
+    rms_est, g = agc_gains(rms_est, p, target, mu)
+    gx = g[..., None]
+    return rms_est, CF32(frames.re * gx, frames.im * gx)
 
-    def step(est, fr):
-        est, y = agc_frame(est, CF32(*fr), target, mu)
-        return est, (y.re, y.im)
 
-    xs = (jnp.moveaxis(frames.re, -2, 0), jnp.moveaxis(frames.im, -2, 0))
-    rms_est, (yr, yi) = jax.lax.scan(step, rms_est, xs)
-    return rms_est, CF32(jnp.moveaxis(yr, 0, -2), jnp.moveaxis(yi, 0, -2))
+def agc_gains_tm(rms_est: jnp.ndarray, zr_tm: jnp.ndarray,
+                 zi_tm: jnp.ndarray, nframes: int, target: float,
+                 mu: float):
+    """Per-frame AGC gains from TIME-MAJOR (T, C) symbol planes (the fused
+    front-end kernel's output layout) — for ``costas_run_pallas_tm``'s
+    in-kernel gain application.
+
+    Returns (new_rms_est (C,), gains (nframes, C)), with values
+    bit-identical to what ``agc_stream`` computes on the same logical
+    symbols in channel-major layout (the fixed-tree power sum is
+    layout-invariant; see module doc)."""
+    t, c = zr_tm.shape
+    nsf = t // nframes
+    re = zr_tm.reshape(nframes, nsf, c).transpose(2, 0, 1)   # (C, F, nsf)
+    im = zi_tm.reshape(nframes, nsf, c).transpose(2, 0, 1)
+    p = _frame_power(re, im)                                 # (C, F)
+    rms_est, g = agc_gains(rms_est, p, target, mu)
+    return rms_est, g.T                                      # (F, C)

@@ -286,10 +286,16 @@ def dd_constants(mod: Modulation, scale=1.0) -> np.ndarray:
     return np.concatenate([cre, cim, ip2, np.asarray(extras, np.float32)])
 
 
-def dd_err_ops(name: str, m: int, outr, outi, get, stage):
+def dd_err_ops(name: str, m: int, outr, outi, get, stage,
+               want_label: bool = False):
     """The per-step decision-directed error, as ONE literal op program
     shared by the ``lax.scan`` detector and the fused Pallas kernel — the
     only way the two lowerings stay bit-identical on every backend.
+    With ``want_label`` also returns the decided Gray LABEL (int32, same
+    shape) — the comparison decisions already pick it, so emitting it is
+    pure int selects that never touch the float error chain (the fused
+    kernel packs these labels in-line, ``emit_label``; the XLA slicer twin
+    is ``slice_labels_cmp``).  Returns ``err`` or ``(err, label)``.
 
     Two hazards shape this code (both measured on v5e, CLAUDE.md):
 
@@ -319,12 +325,18 @@ def dd_err_ops(name: str, m: int, outr, outi, get, stage):
     def const_like(i):
         return jnp.full_like(outr, get(i))
 
+    def ret(err, lab):
+        if want_label:
+            return err, lab.astype(jnp.int32)
+        return err
+
     if name == "bpsk":
         # labels: 0 -> +1, 1 -> -1 (cim = 0)
         neg = outr < 0.0
         cr = jnp.where(neg, const_like(1), const_like(0))
         u, v = stage(outi * cr, outr * 0.0)
-        return (u - v) * const_like(2 * m)
+        return ret((u - v) * const_like(2 * m),
+                   jnp.where(neg, 1, 0) if want_label else None)
     if name == "8psk":
         # octant decision: boundaries at the axes and diagonals, all
         # exact comparisons; position k (sector [k*45deg, (k+1)*45deg))
@@ -341,14 +353,19 @@ def dd_err_ops(name: str, m: int, outr, outi, get, stage):
         lab0 = octants[0][3] ^ (octants[0][3] >> 1)
         cr = const_like(lab0)
         ci = const_like(m + lab0)
+        lab_arr = jnp.full_like(outr, lab0, dtype=jnp.int32) if want_label \
+            else None
         for a, b, c, k in octants[1:]:
             mask = ((s_im if a else ~s_im) & (s_re if b else ~s_re)
                     & (diag if c else ~diag))
             lab = k ^ (k >> 1)
             cr = jnp.where(mask, const_like(lab), cr)
             ci = jnp.where(mask, const_like(m + lab), ci)
+            if want_label:
+                lab_arr = jnp.where(mask, lab, lab_arr)
         u, v = stage(outi * cr, outr * ci)
-        return (u - v) * const_like(2 * m)     # 1/|c|^2 uniform on the ring
+        # 1/|c|^2 uniform on the ring
+        return ret((u - v) * const_like(2 * m), lab_arr)
     if name == "16qam":
         # per-axis Gray decision: level index by sign + threshold, labels
         # (gray_I << 2) | gray_Q; |c|^2 selected per decided label
@@ -370,8 +387,36 @@ def dd_err_ops(name: str, m: int, outr, outi, get, stage):
             ci = jnp.where(mask, const_like(m + k), ci)
             ic2 = jnp.where(mask, const_like(2 * m + k), ic2)
         u, v = stage(outi * cr, outr * ci)
-        return (u - v) * ic2
+        return ret((u - v) * ic2, lab)
     raise ValueError(f"no decision program for modulation {name!r}")
+
+
+def slice_labels_cmp(sym: CF32, mod: Modulation, scale=1.0) -> jnp.ndarray:
+    """Minimum-distance decisions via the COMPARISON program — the exact
+    decision the DD carrier loop itself makes (``dd_err_ops``), so the hard
+    bit stream always agrees with the loop's decisions, and — because every
+    decision is a boundary-exact sign/|a|>|b|/threshold comparison — the
+    fused kernel's in-line packed labels (``emit_label``) match this XLA
+    twin bit-for-bit on every backend (score-argmax decisions do not
+    survive cross-lowering FMA differences; CLAUDE.md).  Geometrically
+    identical to ``slice_labels`` (the Gray regions ARE the min-distance
+    regions for the whole family); the two can differ only on exact
+    floating-point boundary ties."""
+    consts = dd_constants(mod, scale)
+    _, lab = dd_err_ops(mod.name, mod.M, sym.re, sym.im,
+                        get=lambda i: consts[i],
+                        stage=lambda u, v: (u, v), want_label=True)
+    return lab
+
+
+def demod_bits_cmp(sym: CF32, mod: Modulation, scale=1.0,
+                   rotation=0) -> jnp.ndarray:
+    """Hard bits via the comparison-program slicer (the modem RX default;
+    ``demod_bits_mod`` is the score-argmax twin)."""
+    lab = slice_labels_cmp(sym, mod, scale)
+    if rotation:
+        lab = jnp.asarray(mod.rot_labels[rotation])[lab]
+    return labels_to_bits(lab, mod)
 
 
 def dd_detector(mod: Modulation, scale=1.0):

@@ -36,10 +36,10 @@ from qpsk_tpu.ops.cplx import CF32
 
 
 def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
-            trace_blocks: bool, emit_bits: bool, dd_kind: str,
-            dd_barrier: bool):
+            trace_blocks: bool, emit_bits: bool, emit_label: bool,
+            dd_kind: str, agc_nsf: int, interpret_mode: bool):
     # ref layout (gear fields only when gear=True):
-    #   inputs:  phase0, freq0, [lev0, locked0]
+    #   inputs:  phase0, freq0, [lev0, locked0], [agc gains]
     #   outputs: out_re, out_im, freq_trace, phase_out, freq_out,
     #            [lev_out, locked_out]
     #   scratch: phase_s, freq_s, [lev_s, locked_s]
@@ -49,12 +49,14 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
     # 2.4x on v5e at 2048 channels; the recurrence itself stays strictly
     # sequential over time).
     ns = 4 if gear else 2
-    nouts = ns + 3 + (1 if emit_bits else 0)
+    nouts = ns + 3 + (1 if (emit_bits or emit_label) else 0)
     ins, rest = refs[:ns], refs[ns:]
+    if agc_nsf:
+        g_ref, rest = rest[0], rest[1:]
     outs, scr = rest[:nouts], rest[nouts:]
     or_ref, oi_ref, ft_ref = outs[0], outs[1], outs[2]
-    if emit_bits:
-        pk_ref = outs[3 + ns]     # (tt//16, sg, LT) packed dibits (last out)
+    if emit_bits or emit_label:
+        pk_ref = outs[3 + ns]     # packed dibits/labels plane (last out)
         pk_s = scr[-1]            # (sg, LT) int32 accumulator
         scr = scr[:-1]
     if dd_kind:
@@ -95,6 +97,16 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
         freq = scr[1][:]
         zr = zr_ref[pl.ds(t * sg, sg), :]     # (sg, LT) channel-group rows
         zi = zi_ref[pl.ds(t * sg, sg), :]
+        if agc_nsf:
+            # frame-rate AGC gain applied in-register (modem feeds the
+            # gains computed by ops/agc.agc_gains_tm on the SAME input
+            # planes): one IEEE multiply per plane, the same rounded value
+            # the composed path loads from its XLA-scaled HBM plane.  The
+            # scaled value feeds two multiplies (cos/sin), so FMA
+            # contraction cannot absorb it — no staging needed.
+            gv = g_ref[t // agc_nsf, :, :]
+            zr = zr * gv
+            zi = zi * gv
         # derotate by the *current* phase (qpsk.c:197)
         c = jnp.cos(phase)
         s = jnp.sin(phase)
@@ -102,7 +114,7 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
         outi = zi * c - zr * s
         or_ref[pl.ds(t * sg, sg), :] = outr
         oi_ref[pl.ds(t * sg, sg), :] = outi
-        if gear or emit_bits or dd_kind:
+        if gear or emit_bits or emit_label or dd_kind:
             # re-read the STORED derotation so downstream consumers (the
             # gear errn path, the packed-bit signs) see the very bits the
             # output (and the scan twin + XLA slicer) sees: XLA otherwise
@@ -145,14 +157,36 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
             from qpsk_tpu.ops.modfam import dd_err_ops
 
             def stage(u, v):
-                if dd_barrier:          # interpret: same compiler as scan
+                if interpret_mode:      # interpret: same compiler as scan
                     return u, v
                 du_s[:, :] = u
                 dv_s[:, :] = v
                 return du_s[:, :], dv_s[:, :]
 
-            err = dd_err_ops(dd_kind, _m, outr, outi,
-                             get=lambda i: dd_c[i], stage=stage)
+            res = dd_err_ops(dd_kind, _m, outr, outi,
+                             get=lambda i: dd_c[i], stage=stage,
+                             want_label=emit_label)
+            if emit_label:
+                # pack the decided Gray LABELS in-line — 4 bits/symbol,
+                # 8 symbols per int32 lane (uniform across the family;
+                # bps <= 4).  Exact twin of modfam.slice_labels_cmp on the
+                # stored derot values: the decisions are boundary-exact
+                # comparisons, so packing them here is the generic family's
+                # analogue of the QPSK emit_bits dibit slicer — consumers
+                # read 0.5 B/symbol instead of re-reading 8 B/symbol derot
+                # planes AND re-running an (n, M) score argmax.
+                err, lab = res
+                jm = jax.lax.rem(t, 8)
+                shifted = jax.lax.shift_left(
+                    lab, (4 * jm).astype(jnp.int32))
+                acc = jnp.where(jm == 0, shifted, pk_s[:, :] + shifted)
+                pk_s[:, :] = acc
+
+                @pl.when(jm == 7)
+                def _(t=t):
+                    pk_ref[t // 8, :, :] = pk_s[:, :]
+            else:
+                err = res
         else:
             # QPSK sign error (costas_loop.c:44-47)
             sr = jnp.where(outr > 0.0, 1.0, -1.0).astype(jnp.float32)
@@ -217,16 +251,22 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
 
 @functools.partial(jax.jit, static_argnames=("sg", "lt", "tt", "gear",
                                              "trace_blocks", "emit_bits",
-                                             "dd_kind", "interpret"))
-def _costas_pallas_tc(zr, zi, state0, params_vec,
+                                             "emit_label", "dd_kind",
+                                             "agc_nsf", "interpret"))
+def _costas_pallas_tc(zr, zi, state0, params_vec, gains=None, *,
                       sg: int, lt: int, tt: int, gear: bool = False,
                       trace_blocks: bool = False, emit_bits: bool = False,
-                      dd_kind: str = "", interpret: bool = False):
+                      emit_label: bool = False, dd_kind: str = "",
+                      agc_nsf: int = 0, interpret: bool = False):
     """Time-major kernel launch: zr/zi are (T*sg, C/sg) — each time step's
     C channels folded into sg sublane rows of L = C/sg lanes; state0 =
     tuple of (sg, L) state planes (phase, freq[, lev, locked]).  With
     ``trace_blocks`` the freq trace comes back at time-tile rate,
-    ((T/tt)*sg, L), instead of per symbol."""
+    ((T/tt)*sg, L), instead of per symbol.  With ``agc_nsf`` > 0,
+    ``gains`` is a (T/agc_nsf, sg, L) per-frame AGC gain plane and each
+    input symbol is scaled by its frame's gain in-register before the
+    derotation (one IEEE multiply — bit-identical to scaling the planes
+    in XLA first, which is what the composed lowering does)."""
     tsg, ll = zr.shape
     t = tsg // sg
     grid = (ll // lt, t // tt)
@@ -246,6 +286,30 @@ def _costas_pallas_tc(zr, zi, state0, params_vec,
         trace_spec = block_spec
         trace_shape = jax.ShapeDtypeStruct((tsg, ll), jnp.float32)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # params (4,) / (9,) / 4+dd
+        block_spec, block_spec,                   # z planes
+    ] + [state_spec] * ns                         # initial state
+    inputs = [params_vec, zr, zi, *state0]
+    if agc_nsf:
+        assert gains is not None
+        # per-frame gain rows: a time tile either covers whole frames
+        # (tt % nsf == 0) or sits inside one frame (nsf % tt == 0); in
+        # both cases in-kernel row t // nsf indexes within the block
+        if tt >= agc_nsf:
+            assert tt % agc_nsf == 0, (tt, agc_nsf)
+            g_spec = pl.BlockSpec((tt // agc_nsf, sg, lt),
+                                  lambda i, j: (j, 0, i),
+                                  memory_space=pltpu.VMEM)
+        else:
+            assert agc_nsf % tt == 0, (tt, agc_nsf)
+            tpf = agc_nsf // tt
+            g_spec = pl.BlockSpec((1, sg, lt),
+                                  lambda i, j: (j // tpf, 0, i),
+                                  memory_space=pltpu.VMEM)
+        in_specs.append(g_spec)
+        inputs.append(gains)
+
     out_shapes = (
         jax.ShapeDtypeStruct((tsg, ll), jnp.float32),   # out re
         jax.ShapeDtypeStruct((tsg, ll), jnp.float32),   # out im
@@ -263,20 +327,26 @@ def _costas_pallas_tc(zr, zi, state0, params_vec,
             pl.BlockSpec((tt // 16, sg, lt), lambda i, j: (j, 0, i),
                          memory_space=pltpu.VMEM),)
         scratch = scratch + [pltpu.VMEM((sg, lt), jnp.int32)]
+    elif emit_label:
+        assert tt % 8 == 0, tt
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((t // 8, sg, ll), jnp.int32),)
+        out_specs = out_specs + (
+            pl.BlockSpec((tt // 8, sg, lt), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),)
+        scratch = scratch + [pltpu.VMEM((sg, lt), jnp.int32)]
     return pl.pallas_call(
         functools.partial(_kernel, gear=gear, sg=sg,
                           trace_blocks=trace_blocks, emit_bits=emit_bits,
-                          dd_kind=dd_kind, dd_barrier=interpret),
+                          emit_label=emit_label, dd_kind=dd_kind,
+                          agc_nsf=agc_nsf, interpret_mode=interpret),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # params (4,) / (9,)
-            block_spec, block_spec,                   # z planes
-        ] + [state_spec] * ns,                        # initial state
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(params_vec, zr, zi, *state0)
+    )(*inputs)
 
 
 def _pick_tiles(c: int, t: int):
@@ -332,12 +402,25 @@ def unpack_bits_tm(packed: jnp.ndarray, t: int, c: int) -> jnp.ndarray:
     return bits.reshape(2 * t, c).T                      # (C, 2T)
 
 
+def unpack_labels_tm(packed: jnp.ndarray, t: int, c: int) -> jnp.ndarray:
+    """(T//8, C) int32 packed 4-bit DD labels -> (C, T) int32 labels (the
+    layout of ``modfam.slice_labels_cmp`` on the (C, T) derot symbols).
+    Pure elementwise shifts + reshapes — fuses into the bit expansion, so
+    the full-rate derot planes are never re-read for slicing."""
+    w = packed[:, None, :]                               # (T/8, 1, C)
+    j = jnp.arange(8, dtype=jnp.int32)[None, :, None]
+    lab = (w >> (4 * j)) & 15                            # (T/8, 8, C)
+    return lab.reshape(t, c).T                           # (C, T)
+
+
 def costas_run_pallas_tm(state: CostasState, zr_tm: jnp.ndarray,
                          zi_tm: jnp.ndarray, params: CostasParams,
                          gear: CostasGear | None = None,
                          trace_every: int | None = None,
                          emit_bits: bool = False,
+                         emit_label: bool = False,
                          dd=None,
+                         gains: jnp.ndarray | None = None,
                          interpret: bool = False):
     """Time-major entry: consumes (T, C) symbol planes DIRECTLY (the layout
     the fused front-end kernel emits, ops/pallas/frontend_kernel.py
@@ -354,7 +437,17 @@ def costas_run_pallas_tm(state: CostasState, zr_tm: jnp.ndarray,
     is the (C, 2T) hard-bit stream (== ``modmap.demod_bits`` on the derot
     symbols, bit-for-bit) whose consumers read 0.25 B/symbol of packed
     words instead of 8 B/symbol of derot planes; otherwise ``bits`` is
-    None."""
+    None.
+
+    Generic-family twins: with ``dd`` + ``emit_label`` the kernel packs
+    its decision-directed Gray LABELS (4 bits/symbol, 8 per int32 lane)
+    and ``bits`` is the (C, bps*T) hard-bit stream — identical to
+    ``modfam.demod_bits_cmp`` on the derot symbols (both run the one
+    boundary-exact comparison program, ``modfam.dd_err_ops``).  With
+    ``gains`` (a (T // nsf, C) per-frame AGC gain plane, nsf inferred
+    from the gains shape) each symbol is scaled in-register before the
+    loop — the frame-rate AGC rides the zero-glue path instead of
+    forcing a staged XLA scale pass between the kernels."""
     interpret = interpret or jax.default_backend() != "tpu"
     t, c = zr_tm.shape
     assert c % 128 == 0, f"channel count {c} must be a multiple of 128"
@@ -368,6 +461,15 @@ def costas_run_pallas_tm(state: CostasState, zr_tm: jnp.ndarray,
         # tt | trace_every also divides t.
         tt = min(tt, trace_every)
         while trace_every % tt:
+            tt //= 2
+    agc_nsf = 0
+    if gains is not None:
+        nf = gains.shape[0]
+        assert gains.shape == (nf, c) and t % nf == 0, (gains.shape, t, c)
+        agc_nsf = t // nf
+        # tiles must align with frame boundaries (see _costas_pallas_tc):
+        # either whole frames per tile or whole tiles per frame
+        while tt % agc_nsf and agc_nsf % tt:
             tt //= 2
     ll = c // sg
     base = [params.alpha, params.beta, params.min_freq, params.max_freq]
@@ -396,13 +498,22 @@ def costas_run_pallas_tm(state: CostasState, zr_tm: jnp.ndarray,
         state0 = (state.phase, state.freq)
     if emit_bits and tt % 16 != 0:
         emit_bits = False        # geometry can't pack; caller slices derot
+    assert not (emit_label and dd is None), \
+        "emit_label is the generic family's DD-mode slicer"
+    if emit_label and (tt % 8 != 0 or t % 8 != 0):
+        emit_label = False       # geometry can't pack; caller slices derot
     zr = zr_tm.reshape(t * sg, ll)
     zi = zi_tm.reshape(t * sg, ll)
     state0 = tuple(p.reshape(sg, ll) for p in state0)
-    out = _costas_pallas_tc(zr, zi, state0, params_vec, sg=sg, lt=lt, tt=tt,
+    gains_f = None
+    if agc_nsf:
+        gains_f = gains.reshape(t // agc_nsf, sg, ll)
+    out = _costas_pallas_tc(zr, zi, state0, params_vec, gains_f,
+                            sg=sg, lt=lt, tt=tt,
                             gear=gear is not None,
                             trace_blocks=trace_every is not None,
-                            emit_bits=emit_bits, dd_kind=dd_kind,
+                            emit_bits=emit_bits, emit_label=emit_label,
+                            dd_kind=dd_kind, agc_nsf=agc_nsf,
                             interpret=interpret)
     outr, outi = (a.reshape(t, c) for a in out[:2])
     if trace_every is None:
@@ -416,6 +527,10 @@ def costas_run_pallas_tm(state: CostasState, zr_tm: jnp.ndarray,
     bits = None
     if emit_bits:
         bits = unpack_bits_tm(out[3 + ns].reshape(t // 16, c), t, c)
+    elif emit_label:
+        from qpsk_tpu.ops import modfam
+        lab = unpack_labels_tm(out[3 + ns].reshape(t // 8, c), t, c)
+        bits = modfam.labels_to_bits(lab, modfam.get(dd_kind))
     if gear is not None:
         new_state = CostasState(phase=fin[0], freq=fin[1],
                                 lev=fin[2], locked=fin[3])
@@ -433,9 +548,10 @@ def costas_run_pallas_traced(state: CostasState, symbols: CF32,
     """Pallas twin of ``costas_run_traced`` / ``costas_run_gear_traced``:
     also returns the post-update frequency trace (rad/symbol) — per symbol
     (C, T), or (C, T // trace_every) when ``trace_every`` is set (see
-    ``costas_run_pallas_tm``).  ``dd`` = (3, M) ``modfam.dd_constants``
-    switches the phase detector to the generic decision-directed error
-    (bit-identical to ``costas_run(..., detector=modfam.dd_detector)``)."""
+    ``costas_run_pallas_tm``).  ``dd`` = (modulation name, constellation
+    scale) switches the phase detector to the generic decision-directed
+    error (constants built via ``modfam.dd_constants``; bit-identical to
+    ``costas_run(..., detector=modfam.dd_detector)``)."""
     c, t = symbols.re.shape
     # fold channels onto sublanes: (C, T) -> (T, C) [-> (T*sg, C/sg) inside,
     # a free reshape], with channel ch = s*L + l on sublane-group s, lane l

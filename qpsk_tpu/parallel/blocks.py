@@ -43,6 +43,12 @@ def rx_stream_blockparallel(cfg: ModemConfig, pcm: jnp.ndarray,
     (except the first) for acquisition + loop settling and dropped from
     the output.
     """
+    if cfg.modulation != "qpsk":
+        # the block demod below is QPSK-hardcoded (4th-power acquisition,
+        # sign-detector Costas, QPSK slicer); a generic-family config would
+        # produce silent garbage bits
+        raise ValueError(
+            f"rx_stream_blockparallel is QPSK-only, got {cfg.modulation!r}")
     if pcm.ndim != 2:
         raise ValueError(
             f"single stream expected: (nframes, frame_size), got {pcm.shape}")

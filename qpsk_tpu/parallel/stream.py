@@ -117,6 +117,11 @@ def rx_stream_timeparallel(cfg: ModemConfig, pcm: jnp.ndarray, mesh: Mesh,
     boundaries behave like burst starts (resolve rotation with
     qpsk_tpu.sync per block region).
     """
+    if cfg.modulation != "qpsk":
+        # block-local demod below is QPSK-hardcoded (4th-power acquisition,
+        # sign-detector Costas, QPSK slicer)
+        raise ValueError(
+            f"rx_stream_timeparallel is QPSK-only, got {cfg.modulation!r}")
     nshards = mesh.shape[axis]
     n = pcm.shape[-1]
     assert n % (nshards * cfg.frame_size) == 0, (n, nshards, cfg.frame_size)

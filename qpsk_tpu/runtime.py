@@ -437,7 +437,8 @@ class StreamDemodulator:
                 # shared per-packet (rotation x shift) walk — one policy for
                 # the streaming and batch extractors (sync.walk_step)
                 good, r, si = walk_step(ok[:, :, j], shifts,
-                                        self._rotation, cur_si)
+                                        self._rotation, cur_si,
+                                        max_step=self._bps)
                 if good:
                     self._rotation, cur_si = r, si
                     self._consecutive_bad = 0

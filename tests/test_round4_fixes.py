@@ -1,0 +1,233 @@
+"""Round-4 features and ADVICE fixes:
+
+* comparison-program slicer (modfam.slice_labels_cmp / demod_bits_cmp) —
+  the DD loop's own decisions as the hard slicer, geometrically identical
+  to the score-argmax twin;
+* fused Costas kernel packed-label emission (emit_label) — the generic
+  family's analogue of the QPSK emit_bits dibit slicer;
+* frame-rate AGC on the zero-glue tm path (ops/agc.agc_gains_tm +
+  in-kernel gain application), bit-identical to the composed agc_stream;
+* StreamDemodulator slip walk uses max_step = bits-per-symbol (ADVICE r3:
+  the default max_step=2 silently disabled symbol-slip adoption for
+  8PSK/16QAM and let BPSK walk two symbols per packet).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qpsk_tpu import ModemConfig, rx_init, tx_init
+from qpsk_tpu.channel import awgn_pcm
+from qpsk_tpu.modem import rx_stream, tx_stream
+from qpsk_tpu.ops import agc as agc_ops
+from qpsk_tpu.ops import costas as costas_ops
+from qpsk_tpu.ops import modfam
+from qpsk_tpu.ops.cplx import CF32
+from qpsk_tpu.ops.pallas import costas_kernel
+from qpsk_tpu.packet import PacketConfig, assemble_packet
+from qpsk_tpu.runtime import StreamDemodulator
+
+
+# ---------------------------------------------------------------------------
+# comparison-program slicer
+
+@pytest.mark.parametrize("name", ["bpsk", "8psk", "16qam"])
+def test_cmp_slicer_matches_argmax(name):
+    """slice_labels_cmp == slice_labels on noisy symbols (the Gray regions
+    are the min-distance regions for the whole family), and the bit twin
+    agrees under every rotation hypothesis."""
+    m = modfam.get(name)
+    rng = np.random.default_rng(0)
+    n, sc = 4000, 1.45
+    lab = rng.integers(0, m.M, n)
+    sym = CF32(
+        jnp.asarray((m.points_re[lab] * sc
+                     + 0.12 * rng.standard_normal(n)).astype(np.float32)),
+        jnp.asarray((m.points_im[lab] * sc
+                     + 0.12 * rng.standard_normal(n)).astype(np.float32)))
+    np.testing.assert_array_equal(
+        np.asarray(modfam.slice_labels(sym, m, scale=sc)),
+        np.asarray(modfam.slice_labels_cmp(sym, m, scale=sc)))
+    for r in range(m.n_rot):
+        np.testing.assert_array_equal(
+            np.asarray(modfam.demod_bits_mod(sym, m, scale=sc, rotation=r)),
+            np.asarray(modfam.demod_bits_cmp(sym, m, scale=sc, rotation=r)))
+
+
+@pytest.mark.parametrize("name", ["bpsk", "8psk", "16qam"])
+def test_dd_err_ops_label_does_not_change_error(name):
+    """want_label=True adds int selects only — the float error chain is
+    the identical op program (bitwise-equal error values)."""
+    m = modfam.get(name)
+    rng = np.random.default_rng(1)
+    z = CF32(jnp.asarray(rng.standard_normal(512).astype(np.float32)),
+             jnp.asarray(rng.standard_normal(512).astype(np.float32)))
+    consts = modfam.dd_constants(m, 1.45)
+    ident = lambda u, v: (u, v)
+    e0 = modfam.dd_err_ops(name, m.M, z.re, z.im,
+                           get=lambda i: consts[i], stage=ident)
+    e1, lab = modfam.dd_err_ops(name, m.M, z.re, z.im,
+                                get=lambda i: consts[i], stage=ident,
+                                want_label=True)
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+    np.testing.assert_array_equal(
+        np.asarray(lab),
+        np.asarray(modfam.slice_labels_cmp(z, m, scale=1.45)))
+
+
+# ---------------------------------------------------------------------------
+# kernel packed-label emission
+
+@pytest.mark.parametrize("name", ["bpsk", "8psk", "16qam"])
+def test_kernel_packed_labels(name):
+    """emit_label bits == demod_bits_cmp on the kernel's own derot
+    symbols, bit-for-bit (interpret mode; the hardware twin is
+    tools/check_dd_tpu.py)."""
+    m = modfam.get(name)
+    rng = np.random.default_rng(2)
+    c, t, sc = 128, 256, 1.45
+    lab = rng.integers(0, m.M, (t, c))
+    zr = jnp.asarray((m.points_re[lab] * sc
+                      + 0.05 * rng.standard_normal((t, c))).astype(np.float32))
+    zi = jnp.asarray((m.points_im[lab] * sc
+                      + 0.05 * rng.standard_normal((t, c))).astype(np.float32))
+    params = costas_ops.costas_params(0.0628, np.sqrt(0.5), -1.0, 1.0)
+    st0 = costas_ops.costas_init((c,))
+    _, derot_tm, _, bits = costas_kernel.costas_run_pallas_tm(
+        st0, zr, zi, params, dd=(name, sc), emit_label=True, interpret=True)
+    assert bits is not None
+    derot = CF32(derot_tm.re.T, derot_tm.im.T)
+    np.testing.assert_array_equal(
+        np.asarray(bits),
+        np.asarray(modfam.demod_bits_cmp(derot, m, scale=sc)))
+    assert bits.shape == (c, m.bps * t)
+
+
+# ---------------------------------------------------------------------------
+# AGC on the tm path
+
+def test_agc_gains_tm_matches_stream():
+    """agc_gains_tm on (T, C) planes == agc_stream's gains/estimate on the
+    same logical symbols in channel-major layout, bitwise (the fixed-tree
+    power sum is layout-invariant)."""
+    rng = np.random.default_rng(3)
+    c, f, nsf = 128, 12, 128
+    re = (0.8 + 0.2 * rng.standard_normal((c, f, nsf))).astype(np.float32)
+    im = (0.2 * rng.standard_normal((c, f, nsf))).astype(np.float32)
+    est0 = agc_ops.agc_init((c,))
+    est_a, scaled = agc_ops.agc_stream(est0, CF32(jnp.asarray(re),
+                                                  jnp.asarray(im)),
+                                       1.45, 0.25)
+    t = f * nsf
+    zr_tm = jnp.asarray(re.reshape(c, t).T)
+    zi_tm = jnp.asarray(im.reshape(c, t).T)
+    est_b, gains = agc_ops.agc_gains_tm(est0, zr_tm, zi_tm, f, 1.45, 0.25)
+    np.testing.assert_array_equal(np.asarray(est_a), np.asarray(est_b))
+    sc_tm = np.asarray(zr_tm) * np.asarray(gains).repeat(nsf, axis=0)
+    np.testing.assert_array_equal(np.asarray(scaled.re).reshape(c, t).T,
+                                  sc_tm)
+
+
+def test_kernel_agc_gains_match_prescaled():
+    """In-kernel per-frame gain application == scaling the planes first
+    (one IEEE multiply either way), bitwise through the whole DD loop."""
+    rng = np.random.default_rng(4)
+    c, f, nsf = 128, 8, 32
+    t = f * nsf
+    zr = jnp.asarray((0.6 + 0.1 * rng.standard_normal((t, c))
+                      ).astype(np.float32))
+    zi = jnp.asarray((0.1 * rng.standard_normal((t, c))).astype(np.float32))
+    _, gains = agc_ops.agc_gains_tm(agc_ops.agc_init((c,)), zr, zi, f,
+                                    1.45, 0.25)
+    gx = jnp.asarray(np.asarray(gains).repeat(nsf, axis=0))
+    params = costas_ops.costas_params(0.0628, np.sqrt(0.5), -1.0, 1.0)
+    st0 = costas_ops.costas_init((c,))
+    st_a, d_a, tr_a, b_a = costas_kernel.costas_run_pallas_tm(
+        st0, zr * gx, zi * gx, params, dd=("16qam", 1.45), emit_label=True,
+        interpret=True)
+    st_b, d_b, tr_b, b_b = costas_kernel.costas_run_pallas_tm(
+        st0, zr, zi, params, dd=("16qam", 1.45), emit_label=True,
+        gains=gains, interpret=True)
+    np.testing.assert_array_equal(np.asarray(d_a.re), np.asarray(d_b.re))
+    np.testing.assert_array_equal(np.asarray(d_a.im), np.asarray(d_b.im))
+    np.testing.assert_array_equal(np.asarray(b_a), np.asarray(b_b))
+    np.testing.assert_array_equal(np.asarray(st_a.freq), np.asarray(st_b.freq))
+    np.testing.assert_array_equal(np.asarray(tr_a), np.asarray(tr_b))
+
+
+def test_16qam_agc_tm_path_bit_exact(monkeypatch):
+    """rx_stream 16QAM+AGC through the tm fast path == the composed path
+    (kernel front-end + XLA agc_stream + Costas kernel), bit-for-bit —
+    the AGC no longer breaks the zero-glue composition."""
+    from qpsk_tpu import modem as modem_mod
+
+    cfg = ModemConfig(modulation="16qam", agc=True,
+                      frontend_impl="pallas", costas_impl="pallas")
+    c, nframes = 128, 8
+    rng = np.random.default_rng(5)
+    payload = rng.integers(0, 2, (c, nframes, cfg.bits_per_frame),
+                           dtype=np.int32)
+    _, pcm = tx_stream(cfg, tx_init(cfg, batch_shape=(c,)),
+                       jnp.asarray(payload), tx_offset_hz=30.0)
+    st = rx_init(cfg, batch_shape=(c,))
+
+    assert modem_mod._use_tm_path(cfg, (c,), cfg.frame_size, nframes, True)
+    st_tm, out_tm = rx_stream(cfg, st, pcm)
+
+    monkeypatch.setattr(modem_mod, "_use_tm_path", lambda *a, **k: False)
+    st_nt, out_nt = rx_stream(cfg, st, pcm)
+
+    np.testing.assert_array_equal(np.asarray(out_tm.bits),
+                                  np.asarray(out_nt.bits))
+    np.testing.assert_array_equal(np.asarray(out_tm.symbols.re),
+                                  np.asarray(out_nt.symbols.re))
+    np.testing.assert_array_equal(np.asarray(out_tm.symbols.im),
+                                  np.asarray(out_nt.symbols.im))
+    np.testing.assert_array_equal(np.asarray(out_tm.freq_hz),
+                                  np.asarray(out_nt.freq_hz))
+    np.testing.assert_array_equal(np.asarray(st_tm.agc), np.asarray(st_nt.agc))
+    np.testing.assert_array_equal(np.asarray(st_tm.costas.phase),
+                                  np.asarray(st_nt.costas.phase))
+
+
+# ---------------------------------------------------------------------------
+# streaming symbol-slip walk for bps != 2 (ADVICE r3 medium)
+
+@pytest.mark.slow
+def test_stream_slip_8psk_adopts_shift():
+    """Deleting one symbol period of PCM mid-stream shifts all later
+    framing by bps=3 bits; with the walk capped at max_step=bps the
+    tracker adopts the shift for the cost of ~a packet — no resync.
+    (Pre-fix, walk_step's default max_step=2 rejected every 3-bit shift
+    and the stream was lost to a full re-hunt.)"""
+    cfg = ModemConfig(modulation="8psk")
+    pcfg = PacketConfig(payload_bytes=30)
+    rng = np.random.default_rng(6)
+    npkts = 40
+    payload = rng.integers(0, 2, (npkts, 8 * pcfg.payload_bytes),
+                           dtype=np.int32)
+    chan = assemble_packet(pcfg, jnp.asarray(payload)).ravel()
+    mfb = cfg.bits_per_frame
+    npad = (-chan.size) % mfb
+    chan = jnp.concatenate(
+        [chan, jnp.asarray(rng.integers(0, 2, (npad,), dtype=np.int32))])
+    _, pcm = tx_stream(cfg, tx_init(cfg), chan.reshape(-1, mfb),
+                       tx_offset_hz=30.0)
+    pcm = np.asarray(pcm).ravel()
+    # delete exactly one symbol period (cycles samples) mid-stream: the
+    # timing phase is preserved, later symbols shift by one position
+    cut = (pcm.size // 2 // cfg.frame_size) * cfg.frame_size + 64
+    pcm = np.concatenate([pcm[:cut], pcm[cut + cfg.cycles:]])
+
+    demod = StreamDemodulator(cfg, pcfg, slip_track=1)
+    got = list(demod.push(pcm)) + list(demod.flush())
+    ok = [p for p in got if p.crc_ok]
+    assert demod.counters.resyncs == 0, demod.counters
+    # ~8 packets consumed by the hunt at the head; the slip itself costs
+    # ~a packet or two (shift adopted, not a resync)
+    assert len(ok) >= npkts - 12, (len(ok), len(got))
+    wanted = {p.tobytes() for p in payload.astype(np.uint8)}
+    assert all(p.payload.astype(np.uint8).tobytes() in wanted for p in ok)
