@@ -589,3 +589,133 @@ def scaling_efficiency(device_counts=None, channels_per_device: int = 8,
         r["efficiency"] = round(t1[r["mode"]] / r["time_s"], 3)
         r["platform"] = platform
     return records
+
+
+def latency_benchmark(bucket_frames: int | None = None,
+                      sync_skip_frames: int | None = None,
+                      probe_frames: int | None = None,
+                      chunk: int | None = None, snr_db: float = 10.0,
+                      npkts: int = 80, seed: int = 0,
+                      cfg=None, pcfg=None) -> dict:
+    """Streaming push-to-packet latency — the other half of real-time
+    performance (the reference is a 9600 S/s real-time modem,
+    qpsk.c:344-355; throughput alone doesn't say whether a receiver is
+    *usable* live).
+
+    Feeds a TX->AWGN packet stream into a fresh ``StreamDemodulator`` in
+    ``chunk``-sample pushes (default 480 samples = 50 ms of live audio at
+    9600 S/s) and measures:
+
+    * **cold_latency_s** — stream samples consumed before the FIRST packet
+      emerges, in seconds of air time at fs.  This is the algorithmic
+      cold-start: bucket quantization + post-onset transient skip
+      (``sync_skip_frames``) + the CRC hunt's probe window.  Independent
+      of host speed.
+    * **skipped_packets** — how many leading TX packets the cold start
+      consumed (the first decoded payload's TX index).
+    * **proc_p50_ms / proc_p99_ms** — wall-clock compute per push at
+      steady state (post-sync), the jitter a real-time caller sees.
+    * **realtime_factor** — stream air time / total compute time (>1
+      means the receiver keeps up live; on the relayed TPU backend this
+      measures dispatch round trips, not chip speed).
+    * **steady_buffer_s** — the steady-state buffering latency floor,
+      ``bucket_frames * frame_size / fs`` (a packet's last bit waits for
+      its bucket to fill before demodulation can see it).
+
+    All decoded payloads are verified bit-exact against TX as a guard —
+    a latency number from a broken decode would be meaningless.
+    """
+    from qpsk_tpu import ModemConfig, tx_init
+    from qpsk_tpu.channel import awgn_pcm
+    from qpsk_tpu.modem import tx_stream
+    from qpsk_tpu.packet import PacketConfig, assemble_packet
+    from qpsk_tpu.runtime import StreamDemodulator
+
+    cfg = cfg or ModemConfig()
+    pcfg = pcfg or PacketConfig(payload_bytes=30)
+    platform = jax.devices()[0].platform
+    bucket_frames = bucket_frames or 8
+    sync_skip_frames = 8 if sync_skip_frames is None else sync_skip_frames
+    probe_frames = probe_frames or 4
+    chunk = chunk or 480
+
+    rng = np.random.default_rng(seed)
+    payload = rng.integers(0, 2, (npkts, 8 * pcfg.payload_bytes),
+                           dtype=np.int32)
+    chan = assemble_packet(pcfg, jnp.asarray(payload)).ravel()
+    mfb = cfg.bits_per_frame
+    npad = (-chan.size) % mfb
+    if npad:
+        chan = jnp.concatenate(
+            [chan, jnp.asarray(rng.integers(0, 2, (npad,), np.int32))])
+    _, pcm = tx_stream(cfg, tx_init(cfg), chan.reshape(-1, mfb),
+                       tx_offset_hz=50.0)
+    sp = float(jnp.mean((pcm.astype(jnp.float32) / cfg.pcm_scale) ** 2))
+    pcm = np.asarray(awgn_pcm(jax.random.key(seed), pcm, snr_db=snr_db,
+                              signal_power=sp)).ravel()
+
+    def run(stream):
+        d = StreamDemodulator(cfg, pcfg, bucket_frames=bucket_frames,
+                              sync_skip_frames=sync_skip_frames,
+                              probe_frames=probe_frames)
+        p = 0
+        while p < stream.size:
+            d.push(stream[p:p + chunk])
+            p += chunk
+        d.flush()
+
+    # warmup pass: compile every shape the stream will exercise (rx bucket,
+    # acquisition, the drain's disassembly widths) so the timed pass
+    # measures dispatch + compute, not compiles — on the relayed TPU
+    # backend a cold shape costs minutes and would swamp p99
+    run(pcm)
+
+    demod = StreamDemodulator(cfg, pcfg, bucket_frames=bucket_frames,
+                              sync_skip_frames=sync_skip_frames,
+                              probe_frames=probe_frames)
+    first_at = None          # samples consumed when the first packet emerged
+    first_wall = None        # compute seconds spent up to that point
+    push_times = []          # (pos, wall_s) per push
+    got = []
+    pos = 0
+    wall = 0.0
+    while pos < pcm.size:
+        t0 = time.perf_counter()
+        pkts = demod.push(pcm[pos:pos + chunk])
+        dt = time.perf_counter() - t0
+        pos += chunk
+        wall += dt
+        push_times.append((pos, dt, bool(demod.counters.synced)))
+        got.extend(pkts)
+        if first_at is None and pkts:
+            first_at, first_wall = pos, wall
+    got.extend(demod.flush())
+
+    wanted = {p.tobytes(): i for i, p in enumerate(payload.astype(np.uint8))}
+    ok = [p for p in got if p.crc_ok]
+    assert ok, "no packets decoded - latency undefined"
+    for p in ok:
+        assert p.payload.astype(np.uint8).tobytes() in wanted
+    skipped = wanted[ok[0].payload.astype(np.uint8).tobytes()]
+
+    steady = sorted(dt for _, dt, synced in push_times if synced)
+    if not steady:
+        steady = sorted(dt for _, dt, _ in push_times)
+    p50 = steady[len(steady) // 2]
+    p99 = steady[min(len(steady) - 1, int(len(steady) * 0.99))]
+    stream_s = pcm.size / cfg.fs
+    return {"metric": "streaming_latency", "unit": "s",
+            "value": round(first_at / cfg.fs, 4),
+            "cold_latency_s": round(first_at / cfg.fs, 4),
+            "cold_compute_s": round(first_wall, 4),
+            "skipped_packets": int(skipped),
+            "decoded": len(ok), "sent": npkts,
+            "proc_p50_ms": round(1e3 * p50, 3),
+            "proc_p99_ms": round(1e3 * p99, 3),
+            "realtime_factor": round(stream_s / wall, 2),
+            "steady_buffer_s": round(
+                bucket_frames * cfg.frame_size / cfg.fs, 4),
+            "bucket_frames": bucket_frames,
+            "sync_skip_frames": sync_skip_frames,
+            "probe_frames": probe_frames, "chunk": chunk,
+            "snr_db": snr_db, "platform": platform}

@@ -120,3 +120,54 @@ def test_timeparallel_burst_decode():
     # every CRC-passing packet is bit-exact
     assert total_ok >= 8, total_ok
     assert recovered == total_ok, (recovered, total_ok)
+
+
+def test_channel_sharded_generic_8psk_equals_unsharded():
+    """dp-sharded 8PSK demod (DD loop + score slicing) == unsharded,
+    bit-for-bit — the generic family through the same channel sharding as
+    the QPSK flagship (round-4 multi-chip gate twin)."""
+    cfg = ModemConfig(modulation="8psk")
+    rng = np.random.default_rng(3)
+    channels, frames = 8, 3
+    pcm = jnp.asarray(rng.integers(-8192, 8192,
+                                   (channels, frames, cfg.frame_size),
+                                   dtype=np.int16))
+    state = rx_init(cfg, batch_shape=(channels,))
+    _, out_ref = jax.jit(lambda s, x: rx_stream(cfg, s, x))(state, pcm)
+
+    mesh = _mesh("dp")
+    demod = make_channel_demod(cfg, mesh)
+    _, out_sh = demod(shard_channel_state(state, mesh), pcm)
+    np.testing.assert_array_equal(np.asarray(out_sh.bits),
+                                  np.asarray(out_ref.bits))
+    np.testing.assert_allclose(np.asarray(out_sh.symbols.re),
+                               np.asarray(out_ref.symbols.re), atol=1e-6)
+
+
+def test_channel_sharded_soft_llrs_equal_unsharded():
+    """dp-sharded soft path: the LLR stream computed from sharded RX
+    symbols equals the unsharded one (the FEC soft-decision input —
+    a sharding bug in the LLR batching fails here, not silently)."""
+    from qpsk_tpu.ops.modmap import demod_soft
+    from jax.sharding import NamedSharding
+
+    rng = np.random.default_rng(4)
+    channels, frames = 8, 3
+    pcm = jnp.asarray(rng.integers(-8192, 8192,
+                                   (channels, frames, CFG.frame_size),
+                                   dtype=np.int16))
+    state = rx_init(CFG, batch_shape=(channels,))
+
+    def step(st, x):
+        st, out = rx_stream(CFG, st, x)
+        sym = CF32(out.symbols.re.reshape(channels, -1),
+                   out.symbols.im.reshape(channels, -1))
+        return demod_soft(sym)
+
+    llr_ref = jax.jit(step)(state, pcm)
+    mesh = _mesh("dp")
+    sh = NamedSharding(mesh, P("dp"))
+    llr_sh = jax.jit(step, out_shardings=None)(
+        jax.device_put(state, sh), jax.device_put(pcm, sh))
+    np.testing.assert_allclose(np.asarray(llr_sh), np.asarray(llr_ref),
+                               atol=1e-5)
