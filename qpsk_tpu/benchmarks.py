@@ -199,6 +199,14 @@ def rx_throughput(channels: int | None = None, frames: int | None = None,
     }
     if cfg.modulation != "qpsk":
         rec["modulation"] = cfg.modulation
+    if platform == "tpu" and ndev == 1:
+        # regenerate the bandwidth/roofline claim with the number itself
+        # (utils/roofline.composed_rx_report) — a prose-only claim rots
+        from qpsk_tpu.utils.roofline import composed_rx_report
+        rec.update(composed_rx_report(
+            cfg, channels, frames, measured_s=dt / (iters * inner),
+            packed_bytes_per_symbol=0.25 if cfg.modulation == "qpsk"
+            else 0.5))
     return rec
 
 
@@ -419,9 +427,16 @@ def fec_throughput(kind: str = "conv", packets: int | None = None,
 
     dt = _time_chained(step, jnp.zeros((), jnp.int32), llrs, iters)
     bps = packets * nbits * inner * iters / dt
-    return {"metric": f"fec_throughput_{kind}", "value": round(bps, 1),
-            "unit": "info_bits/s", "platform": platform,
-            "packets": packets, "nbits": nbits}
+    rec = {"metric": f"fec_throughput_{kind}", "value": round(bps, 1),
+           "unit": "info_bits/s", "platform": platform,
+           "packets": packets, "nbits": nbits}
+    if kind == "ldpc" and platform == "tpu":
+        # the bound statement behind the kernel's MXU fraction
+        # (utils/roofline.ldpc_report) — regenerated with the number
+        from qpsk_tpu.utils.roofline import ldpc_report
+        rec.update(ldpc_report(code, packets,
+                               measured_s=dt / (iters * inner)))
+    return rec
 
 
 def single_stream_serial_throughput(frames: int | None = None,
@@ -509,7 +524,7 @@ def single_stream_blockparallel_throughput(frames: int | None = None,
 
 def scaling_efficiency(device_counts=None, channels_per_device: int = 8,
                        frames: int = 8, iters: int = 3,
-                       inner: int = 2) -> list[dict]:
+                       inner: int = 2, modes=("dp", "sp")) -> list[dict]:
     """Weak-scaling sweep over the mesh (BASELINE.md ≥80 % target).
 
     Two parallel axes, each measured at 1..N devices with the per-device
@@ -538,7 +553,7 @@ def scaling_efficiency(device_counts=None, channels_per_device: int = 8,
     records = []
 
     # --- dp: weak scaling over channels ---
-    for n in counts:
+    for n in counts if "dp" in modes else ():
         mesh = Mesh(np.asarray(devs[:n]), ("dp",))
         sh = NamedSharding(mesh, P("dp"))
         channels = channels_per_device * n
@@ -564,7 +579,7 @@ def scaling_efficiency(device_counts=None, channels_per_device: int = 8,
                         "throughput_sps": round(nsamples / dt, 1)})
 
     # --- sp: weak scaling over stream length ---
-    for n in counts:
+    for n in counts if "sp" in modes else ():
         mesh = Mesh(np.asarray(devs[:n]), ("sp",))
         nsamp = n * frames * cfg.frame_size
         pcm = (jax.random.normal(jax.random.key(1), (nsamp,))
@@ -584,7 +599,7 @@ def scaling_efficiency(device_counts=None, channels_per_device: int = 8,
     # weak-scaling efficiency vs the 1-device time of the same mode
     t1 = {m: next(r["time_s"] for r in records
                   if r["mode"] == m and r["devices"] == counts[0])
-          for m in ("dp", "sp")}
+          for m in modes}
     for r in records:
         r["efficiency"] = round(t1[r["mode"]] / r["time_s"], 3)
         r["platform"] = platform
@@ -719,3 +734,82 @@ def latency_benchmark(bucket_frames: int | None = None,
             "sync_skip_frames": sync_skip_frames,
             "probe_frames": probe_frames, "chunk": chunk,
             "snr_db": snr_db, "platform": platform}
+
+
+def sp_scaling_decomposition(device_counts=(1, 2, 4),
+                             frames_per_dev=(16, 64),
+                             iters: int = 8) -> list[dict]:
+    """Decompose the sp (time-parallel) weak-scaling inefficiency.
+
+    The round-3 artifact read sp efficiency ~0.76 at 2-4 devices (below
+    the >=0.8 BASELINE target) with no attribution.  This measures, at
+    each device count and TWO workload sizes:
+
+    * ``sp_full``     — rx_stream_timeparallel (halo exchange + per-block
+                        FFT re-acquisition + Costas + slicer);
+    * ``sp_frontend`` — rx_frontend_timeparallel (the halo exchange and
+                        filter only — bit-identical to serial, no
+                        acquisition/loop);
+    * ``block_rest``  — derived full-minus-frontend time: per-block work
+                        with NO communication at all (acquisition + scan
+                        + slicing are block-local).
+
+    Reading: if a component's efficiency rises with the larger workload,
+    its deficit is a FIXED per-launch cost (collective setup / dispatch /
+    sync) amortizing away — the expectation for a real-mesh run with
+    production block sizes.  If it stays flat, the deficit scales with
+    the work (bandwidth or serialization) and would survive on hardware.
+    """
+    from jax.sharding import Mesh
+
+    from qpsk_tpu import ModemConfig
+    from qpsk_tpu.parallel.stream import (rx_frontend_timeparallel,
+                                          rx_stream_timeparallel)
+
+    cfg = ModemConfig()
+    devs = jax.devices()
+    platform = devs[0].platform
+    records = []
+    for fpd in frames_per_dev:
+        for n in device_counts:
+            if n > len(devs):
+                continue
+            mesh = Mesh(np.asarray(devs[:n]), ("sp",))
+            nsamp = n * fpd * cfg.frame_size
+            pcm = (jax.random.normal(jax.random.key(1), (nsamp,))
+                   * 8000.0).astype(jnp.int16)
+
+            @jax.jit
+            def full(acc, x):
+                _, bits, _ = rx_stream_timeparallel(cfg, x, mesh)
+                return acc + jnp.sum(bits), acc
+
+            @jax.jit
+            def frontend(acc, x):
+                y = rx_frontend_timeparallel(cfg, x, mesh)
+                return acc + jnp.sum(y.re[-8:]), acc
+
+            t_full = _time_chained(
+                lambda a, x: full(a, x), jnp.zeros((), jnp.int32), pcm,
+                iters)
+            t_fe = _time_chained(
+                lambda a, x: frontend(a, x), jnp.zeros((), jnp.float32),
+                pcm, iters)
+            records.append({
+                "mode": "sp_decomp", "devices": n, "frames_per_dev": fpd,
+                "samples": nsamp,
+                "t_full_s": round(t_full / iters, 5),
+                "t_frontend_s": round(t_fe / iters, 5),
+                "t_block_rest_s": round((t_full - t_fe) / iters, 5),
+                "platform": platform,
+            })
+    # weak-scaling efficiency per component vs the 1-device row of the
+    # same workload size
+    for fpd in frames_per_dev:
+        rows = [r for r in records if r["frames_per_dev"] == fpd]
+        base = rows[0]
+        for r in rows:
+            for comp in ("t_full_s", "t_frontend_s", "t_block_rest_s"):
+                r["eff_" + comp[2:-2]] = round(
+                    base[comp] / max(r[comp], 1e-12), 3)
+    return records

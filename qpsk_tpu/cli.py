@@ -786,6 +786,8 @@ def main(argv=None) -> int:
             "modfam": lambda: [
                 B.rx_throughput(cfg=_MC(modulation="8psk")),
                 B.rx_throughput(cfg=_MC(modulation="16qam", agc=True))],
+            # streaming push-to-packet latency (the real-time half)
+            "latency": B.latency_benchmark,
         }
         if a.suite == "scaling":
             for rec in B.scaling_efficiency():
@@ -802,7 +804,7 @@ def main(argv=None) -> int:
     be.add_argument("--suite", type=str, default="rx",
                     choices=["rx", "tx", "frontend", "costas", "fec",
                              "serial", "blockparallel", "fdm", "modfam",
-                             "scaling", "all"],
+                             "latency", "scaling", "all"],
                     help="which benchmark to run (all = every throughput "
                          "suite; scaling = weak-scaling efficiency sweep)")
     be.set_defaults(fn=_bench)

@@ -31,7 +31,8 @@ from qpsk_tpu.sync import (_mod_geometry, default_max_lag,
 def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
                snr_db: Sequence[float], nframes: int = 120,
                offset_hz: float = 50.0, seed: int = 0,
-               skip_frames: int = 8, paths=None) -> list[dict]:
+               skip_frames: int = 8, paths=None,
+               probe_frames: int = 4) -> list[dict]:
     """Packet/bit error rates across SNR points, one fused RX pass.
 
     Returns one record per SNR: {snr_db, per, ber, evm_rms, detected_hz,
@@ -123,11 +124,13 @@ def per_vs_snr(cfg: ModemConfig, pcfg: PacketConfig,
                     None, cfg.modulation,
                     soft=jnp.asarray(soft_src[i, skip_syms:]))
             sync = find_sync_streams(
-                pcfg, rows, max_lag=default_max_lag(pcfg), probe_frames=4,
+                pcfg, rows, max_lag=default_max_lag(pcfg),
+                probe_frames=probe_frames,
                 lag_step=_mod_geometry(cfg.modulation)[2], soft=True)
         else:
             sync = find_sync(pcfg, stream, max_lag=default_max_lag(pcfg),
-                             probe_frames=4, modulation=cfg.modulation)
+                             probe_frames=probe_frames,
+                             modulation=cfg.modulation)
         navail = (stream.shape[0] - int(sync.bit_lag)) // pcfg.frame_bits
         rec = {"snr_db": float(snr[i]), "evm_rms": float(evm_rms[i]),
                "detected_hz": float(det[i]), "sync_score": int(sync.score),

@@ -107,3 +107,103 @@ def frontend_report(cfg, channels: int, nframes: int, measured_s: float,
         "mfu_useful": round(c.useful_flops / measured_s / PEAK_MATMUL_FLOPS,
                             4),
     }
+
+
+@dataclasses.dataclass(frozen=True)
+class ComposedRxCost:
+    """Itemized HBM traffic of the zero-glue composed RX path (tm mode:
+    front-end kernel -> Costas kernel with in-line packed slicer)."""
+    fe_bytes: float            # int16 read + picks write + index sliver
+    costas_bytes: float        # picks read + derot write + packed words
+    consumer_bytes: float      # packed-word re-read by the bit consumer
+    ideal_hbm_s: float
+
+    @property
+    def total_bytes(self) -> float:
+        return self.fe_bytes + self.costas_bytes + self.consumer_bytes
+
+
+def composed_rx_cost(cfg, channels: int, nframes: int,
+                     packed_bytes_per_symbol: float = 0.25) -> ComposedRxCost:
+    """Analytic HBM traffic of one composed rx_stream pass over
+    (channels, nframes, frame_size) int16 PCM on the tm fast path.
+
+    Per input sample (cycles samples/symbol): the front-end reads the
+    int16 once (2 B) and writes CF32 picks (8/cycles B) plus the padded
+    per-frame index sliver; the Costas kernel reads the picks and writes
+    the derot planes (8/cycles B each way) plus packed slicer words
+    (0.25 B/symbol QPSK dibits, 0.5 B/symbol generic labels) and the
+    block-rate freq trace; the bit consumer re-reads only the packed
+    words.  The derot planes are written but not re-read by the hard
+    path - that re-read (8 B/symbol) was the round-3 slicer cost the
+    packed emission deleted."""
+    fsz = cfg.frame_size
+    n = channels * nframes * fsz
+    t = n // cfg.cycles                       # total symbols
+    sym_bytes = 8.0                           # CF32 split-plane per symbol
+    fe = 2.0 * n + sym_bytes * t + 4.0 * 128 * channels * nframes / fsz
+    trace = 4.0 * channels * nframes          # one f32 per frame boundary
+    packed = packed_bytes_per_symbol * t
+    costas = sym_bytes * t + sym_bytes * t + packed + trace
+    consumer = packed
+    total = fe + costas + consumer
+    return ComposedRxCost(fe_bytes=fe, costas_bytes=costas,
+                          consumer_bytes=consumer,
+                          ideal_hbm_s=total / PEAK_HBM_BPS)
+
+
+def composed_rx_report(cfg, channels: int, nframes: int,
+                       measured_s: float,
+                       packed_bytes_per_symbol: float = 0.25) -> dict:
+    """Measured-vs-roofline record for the composed RX path, regenerated
+    by the headline bench (rx_demod_throughput) so the bandwidth claim
+    can't rot in prose.
+
+    ``bound`` judgment: with the packed slicer the priced traffic at the
+    HBM peak no longer explains the measured time — the path is a SERIAL
+    composition of an MXU-bound front-end (see ``frontend_cost``; its VPU
+    timing tail is priced nowhere and costs ~40%% of the kernel) and the
+    Costas kernel's per-step issue floor (~0.12-0.16 us/step, amortized
+    over channels).  hbm_roofline_fraction < ~0.5 therefore reads
+    "serial-step + MXU bound", not "headroom left on the table"."""
+    c = composed_rx_cost(cfg, channels, nframes, packed_bytes_per_symbol)
+    frac = c.ideal_hbm_s / measured_s
+    return {
+        "hbm_bytes_per_pass": round(c.total_bytes, 0),
+        "hbm_gbps": round(c.total_bytes / measured_s / 1e9, 1),
+        "hbm_roofline_fraction": round(frac, 3),
+        "bound": "hbm" if frac > 0.5 else "serial-step+mxu",
+        "fe_bytes": round(c.fe_bytes, 0),
+        "costas_bytes": round(c.costas_bytes, 0),
+    }
+
+
+def ldpc_report(code, batch: int, measured_s: float) -> dict:
+    """Measured-vs-roofline record for the fused LDPC min-sum kernel —
+    the bound statement behind the kernel's ~40% MXU utilization.
+
+    Priced terms: the 2 x dmax edge-matrix contractions per iteration
+    ((B, n) x (m, n) gather + (B, m) x (m, n) scatter, bf16 MXU with f32
+    accumulation) and the kernel's HBM traffic (LLRs in, bits out — the
+    message planes never leave VMEM).  The check update (min/submin/
+    sign-parity over the dmax slot planes) is VPU work that runs BETWEEN
+    the two matmul phases of every iteration: inside one Pallas kernel
+    nothing overlaps, so each of the 25 iterations serializes
+    MXU-gather -> VPU-check -> MXU-scatter.  When hbm_fraction ~ 0 and
+    mfu < 1, the residual is that intra-iteration serialization — the
+    recoverable headroom is software-pipelining the check update against
+    the next batch tile's matmuls, not a bigger matmul."""
+    from qpsk_tpu.packet.ldpc import _edges
+
+    _, _, dmax = _edges(code.k, code.dv, code.seed)
+    m, n, iters = code.m, code.n, code.iters
+    mxu = 2.0 * dmax * 2.0 * batch * m * n * iters   # gather + scatter
+    hbm = 4.0 * batch * n + 4.0 * batch * n / 4.0    # LLRs in, bits out
+    ideal_mxu_s = mxu / PEAK_MATMUL_FLOPS
+    return {
+        "mxu_flops_per_decode": round(mxu / batch, 0),
+        "mfu": round(ideal_mxu_s / measured_s, 3),
+        "hbm_fraction": round(hbm / PEAK_HBM_BPS / measured_s, 4),
+        "bound": "mxu+vpu-serialization",
+        "dmax": int(dmax),
+    }

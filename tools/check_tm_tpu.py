@@ -26,11 +26,24 @@ from qpsk_tpu.modem import rx_stream
 
 assert jax.devices()[0].platform == "tpu", jax.devices()
 
-for gear in (False, True):
-    cfg = ModemConfig(frontend_impl="pallas", costas_impl="pallas")
-    if gear:
-        from qpsk_tpu.config import TAU
-        cfg = dataclasses.replace(cfg, loop_bw_track=TAU / 200.0)
+from qpsk_tpu.config import TAU
+
+CASES = [
+    ("plain", ModemConfig(frontend_impl="pallas", costas_impl="pallas")),
+    ("gear", ModemConfig(frontend_impl="pallas", costas_impl="pallas",
+                         loop_bw_track=TAU / 200.0)),
+    # round 4: the generic family + AGC ride the tm path too — the DD
+    # kernel's packed-label slicer and the in-kernel per-frame gains must
+    # leave every value identical to the composed path (XLA agc_stream +
+    # transpose fold + downstream cmp slicer)
+    ("8psk", ModemConfig(modulation="8psk", frontend_impl="pallas",
+                         costas_impl="pallas")),
+    ("16qam+agc", ModemConfig(modulation="16qam", agc=True,
+                              frontend_impl="pallas",
+                              costas_impl="pallas")),
+]
+
+for gear, cfg in CASES:
     c, nframes = 256, 8
     rng = np.random.default_rng(0)
     pcm = jnp.asarray(rng.integers(-12000, 12000,
@@ -48,7 +61,7 @@ for gear in (False, True):
     finally:
         modem_mod._use_tm_path = orig
 
-    for name, a, b in [
+    checks = [
             ("bits", out_tm.bits, out_nt.bits),
             ("sym.re", out_tm.symbols.re, out_nt.symbols.re),
             ("sym.im", out_tm.symbols.im, out_nt.symbols.im),
@@ -57,9 +70,12 @@ for gear in (False, True):
             ("decim_delay", st_tm.decim_delay.re, st_nt.decim_delay.re),
             ("costas.phase", st_tm.costas.phase, st_nt.costas.phase),
             ("costas.freq", st_tm.costas.freq, st_nt.costas.freq),
-            ("fir_tail", st_tm.fir_tail.re, st_nt.fir_tail.re)]:
+            ("fir_tail", st_tm.fir_tail.re, st_nt.fir_tail.re)]
+    if cfg.agc:
+        checks.append(("agc", st_tm.agc, st_nt.agc))
+    for name, a, b in checks:
         a, b = np.asarray(a), np.asarray(b)
         same = (a == b).mean()
-        print(f"gear={gear} {name}: exact-match {same:.6f}")
+        print(f"case={gear} {name}: exact-match {same:.6f}")
         assert same == 1.0, (gear, name)
 print("TM-TPU-CHECK-PASS")

@@ -30,10 +30,16 @@ def main() -> int:
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--snr", type=float, default=10.0)
     ap.add_argument("--append", action="store_true")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) — env vars alone "
+                         "are latched too early under the axon sitecustomize")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     from qpsk_tpu.benchmarks import latency_benchmark
 
     rows = []
