@@ -538,18 +538,27 @@ def _rx_stream_fused(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):
     if _use_tm_path(cfg, batch, fsz, nframes, use_pallas):
         from qpsk_tpu.ops.pallas import costas_kernel
         from qpsk_tpu.ops.pallas.frontend_kernel import rx_frontend_fused_tm
-        zr, zi, index, nco_phase, fir_tail, decim_delay = \
+        zr, zi, index, nco_phase, fir_tail, decim_delay, powers = \
             rx_frontend_fused_tm(cfg, pcm, state.nco_phase, state.fir_tail,
                                  state.decim_delay)
         agc_state = state.agc
         gains = None
         if cfg.agc:
-            # frame-rate AGC on the zero-glue path: gains computed from
-            # the tm planes (bit-identical to the composed agc_stream,
-            # ops/agc.py) and applied in-register by the Costas kernel
+            # frame-rate AGC on the zero-glue path: per-frame powers come
+            # from the front-end kernel (computed in VMEM while it holds
+            # the picks — the XLA-side measurement re-read the full
+            # symbol planes and cost 16QAM+AGC ~19% of the RX rate); the
+            # gain recursion runs on the tiny (F, C) plane and the Costas
+            # kernel applies the gains in-register.  All values
+            # bit-identical to the composed agc_stream (ops/agc.py).
             from qpsk_tpu.ops import agc as agc_ops
-            agc_state, gains = agc_ops.agc_gains_tm(
-                state.agc, zr, zi, nframes, cfg.agc_target, cfg.agc_mu)
+            if powers is not None:
+                agc_state, g_cf = agc_ops.agc_gains(
+                    state.agc, powers.T, cfg.agc_target, cfg.agc_mu)
+                gains = g_cf.T
+            else:
+                agc_state, gains = agc_ops.agc_gains_tm(
+                    state.agc, zr, zi, nframes, cfg.agc_target, cfg.agc_mu)
         # the kernel also slices the constellation in-line: QPSK's
         # diagonal slicer emits packed dibits (0.25 B/symbol), the generic
         # family's DD mode emits packed Gray labels (0.5 B/symbol) —

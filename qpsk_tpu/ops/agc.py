@@ -55,25 +55,38 @@ def agc_init(batch_shape=()) -> jnp.ndarray:
     return jnp.zeros(batch_shape, jnp.float32)
 
 
-def _frame_power(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
-    """Mean |z|^2 over the last (symbol) axis as a fixed halving tree of
-    elementwise adds — bit-identical for any memory layout of the same
-    logical values (an XLA ``reduce`` is free to pick a layout-dependent
-    summation order; elementwise adds are not).  The squares are staged
-    through an optimization barrier so ``re*re + im*im`` cannot
-    FMA-contract differently between compilation contexts."""
+def _frame_power(re: jnp.ndarray, im: jnp.ndarray,
+                 axis: int = -1) -> jnp.ndarray:
+    """Mean |z|^2 over the symbol ``axis`` as a fixed halving tree of
+    elementwise adds — bit-identical for any memory layout (and any
+    ``axis`` placement) of the same logical values: an XLA ``reduce`` is
+    free to pick a layout-dependent summation order, but each output
+    element of the tree is a fixed expression over its own pairs
+    ``p[.., 2i, ..] + p[.., 2i+1, ..]`` regardless of which axis carries
+    the symbols.  The squares are staged through an optimization barrier
+    so ``re*re + im*im`` cannot FMA-contract differently between
+    compilation contexts.  The axis generality lets the time-major caller
+    (``agc_gains_tm``) reduce (F, nsf, C) over axis 1 in place instead of
+    materializing a (C, F, nsf) transpose of the full symbol planes."""
     pr, pi = jax.lax.optimization_barrier((re * re, im * im))
     p = pr + pi
-    n = p.shape[-1]
+    axis = axis % p.ndim
+    n = p.shape[axis]
     inv = np.float32(1.0 / n)
+    # HALVES pairing (p[..k..] + p[..k + n/2..]), not adjacent pairs: the
+    # same tree runs inside the fused front-end kernel (contiguous lane
+    # slices, which Mosaic lowers well; adjacent-pair strided slices do
+    # not) — the two implementations must pair identically to produce
+    # bit-identical powers
     while n > 1 and n % 2 == 0:
-        p = p.reshape(p.shape[:-1] + (n // 2, 2))
-        p = p[..., 0] + p[..., 1]
+        lo = jax.lax.slice_in_dim(p, 0, n // 2, axis=axis)
+        hi = jax.lax.slice_in_dim(p, n // 2, n, axis=axis)
+        p = lo + hi
         n //= 2
     if n > 1:   # odd residue (no real config: nsym/frame is a power of 2)
-        p = jnp.sum(p, axis=-1)
+        p = jnp.sum(p, axis=axis)
     else:
-        p = p[..., 0]
+        p = jnp.squeeze(p, axis=axis)
     return p * inv
 
 
@@ -116,7 +129,12 @@ def agc_gains(rms_est: jnp.ndarray, power: jnp.ndarray, target: float,
         est = _est_update(est, rms, mu)
         return est, _gain(est, target)
 
-    rms_est, g = jax.lax.scan(step, rms_est, jnp.moveaxis(power, -1, 0))
+    # unroll: the body is a handful of (C,)-wide VPU ops with a pinned
+    # product — as a rolled scan each step lowers to its own tiny launch
+    # (~10 us on the relayed backend, ~150 us per 16-frame pass);
+    # unrolling fuses the chain without touching the op sequence
+    rms_est, g = jax.lax.scan(step, rms_est, jnp.moveaxis(power, -1, 0),
+                              unroll=min(int(power.shape[-1]), 16))
     return rms_est, jnp.moveaxis(g, 0, -1)
 
 
@@ -145,8 +163,12 @@ def agc_gains_tm(rms_est: jnp.ndarray, zr_tm: jnp.ndarray,
     layout-invariant; see module doc)."""
     t, c = zr_tm.shape
     nsf = t // nframes
-    re = zr_tm.reshape(nframes, nsf, c).transpose(2, 0, 1)   # (C, F, nsf)
-    im = zi_tm.reshape(nframes, nsf, c).transpose(2, 0, 1)
-    p = _frame_power(re, im)                                 # (C, F)
-    rms_est, g = agc_gains(rms_est, p, target, mu)
-    return rms_est, g.T                                      # (F, C)
+    # reduce the symbol axis IN the tm layout (axis 1 of (F, nsf, C)) —
+    # the value tree is identical to the channel-major reduction, and no
+    # full-rate transpose of the symbol planes ever materializes (the
+    # first version transposed to (C, F, nsf) and cost 16QAM+AGC ~20%
+    # of the whole RX rate in plane copies)
+    p = _frame_power(zr_tm.reshape(nframes, nsf, c),
+                     zi_tm.reshape(nframes, nsf, c), axis=1)   # (F, C)
+    rms_est, g = agc_gains(rms_est, p.T, target, mu)           # (C, F)
+    return rms_est, g.T                                        # (F, C)

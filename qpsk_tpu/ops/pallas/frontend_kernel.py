@@ -62,8 +62,13 @@ _HALO = 128
 
 def _kernel(base_r_ref, base_i_ref, tre_ref, tim_ref, wtab_ref,
             phase0_ref, tail_ref, *refs, gain: float, pcm_scale: float,
-            cycles: int, g: int, omega: float, tm_delay: bool):
-    if tm_delay:
+            cycles: int, g: int, omega: float, tm_delay: bool,
+            emit_power: bool = False, interpret_mode: bool = False):
+    if tm_delay and emit_power:
+        (ddin_r_ref, ddin_i_ref, body_ref, pr_ref, pi_ref, idx_ref,
+         ddout_r_ref, ddout_i_ref, pw_ref, halo_s, dly_r_s, dly_i_s,
+         sq_r_s, sq_i_s) = refs
+    elif tm_delay:
         (ddin_r_ref, ddin_i_ref, body_ref, pr_ref, pi_ref, idx_ref,
          ddout_r_ref, ddout_i_ref, halo_s, dly_r_s, dly_i_s) = refs
     else:
@@ -190,6 +195,39 @@ def _kernel(base_r_ref, base_i_ref, tre_ref, tim_ref, wtab_ref,
         pi_ref[:, :] = prev_i.T
         dly_r_s[:, :] = outr
         dly_i_s[:, :] = outi
+        if emit_power:
+            # per-frame mean |pick|^2 of the EMITTED (delayed) picks —
+            # the frame-rate AGC's measurement (ops/agc._frame_power),
+            # computed here for free while the picks are in VMEM: the
+            # XLA-side computation re-read the full symbol planes from
+            # HBM and materialized the barrier-staged squares, costing
+            # 16QAM+AGC ~19% of the whole RX rate.  Bit-equality with the
+            # XLA twin: squares staged through VMEM scratch (Mosaic
+            # would FMA-contract ``a*a + b*b``; the scratch round trip
+            # pins each square's rounding like the XLA barrier does),
+            # then the SAME halves-pairing add tree, then the same
+            # 1/nsym multiply.
+            if interpret_mode:
+                # interpret runs under the same XLA backend as the
+                # ops/agc twin: use ITS pinning construct (the scratch
+                # round trip is transparent to XLA fusion, so it would
+                # not pin anything there) — structural identity is bit
+                # identity (the dd-kernel stage() pattern)
+                a2, b2 = jax.lax.optimization_barrier(
+                    (prev_r * prev_r, prev_i * prev_i))
+            else:
+                sq_r_s[:, :] = prev_r * prev_r
+                sq_i_s[:, :] = prev_i * prev_i
+                a2, b2 = sq_r_s[:, :], sq_i_s[:, :]
+            pw = a2 + b2                                # (CT, nsym)
+            m = pw.shape[1]
+            while m > 1:
+                pw = pw[:, :m // 2] + pw[:, m // 2:m]
+                m //= 2
+            inv = jnp.float32(1.0 / prev_r.shape[1])
+            pw_ref[:, :] = jnp.concatenate(
+                [pw * inv,
+                 jnp.zeros((pw.shape[0], 127), jnp.float32)], axis=1)
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _():
@@ -337,10 +375,15 @@ def _frontend_2d_tm(pcm, tail_raw, phase0, dd_r, dd_i, taps_key, block: int,
     bases_i = jnp.asarray(bases_np[:, 1])
 
     grid = (c // ct, nb)
+    # per-frame pick-power emission (the frame-rate AGC's measurement)
+    # needs the in-kernel halves tree, which wants a power-of-two symbol
+    # count; every real config satisfies it (nsym = 128 at 2400 baud)
+    emit_power = nsym >= 2 and (nsym & (nsym - 1)) == 0
     body_spec = pl.BlockSpec((ct, block), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, gain=gain, pcm_scale=pcm_scale,
-                             cycles=cycles, g=1, omega=omega, tm_delay=True)
+                             cycles=cycles, g=1, omega=omega, tm_delay=True,
+                             emit_power=emit_power, interpret_mode=interpret)
     tmat_spec = pl.BlockSpec((block // cw, cw + _HALO, cw),
                              lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM)
     dd_spec = pl.BlockSpec((ct, nsym), lambda i, j: (i, 0),
@@ -350,7 +393,26 @@ def _frontend_2d_tm(pcm, tail_raw, phase0, dd_r, dd_i, taps_key, block: int,
                  jax.ShapeDtypeStruct((c, nb * 128), jnp.float32),
                  jax.ShapeDtypeStruct((c, nsym), jnp.float32),
                  jax.ShapeDtypeStruct((c, nsym), jnp.float32))
-    zr, zi, idxf, ndd_r, ndd_i = pl.pallas_call(
+    out_specs = (
+        pl.BlockSpec((nsym, ct), lambda i, j: (j, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nsym, ct), lambda i, j: (j, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ct, 128), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        dd_spec, dd_spec,
+    )
+    scratch = [pltpu.VMEM((ct, _HALO), jnp.float32),
+               pltpu.VMEM((ct, nsym), jnp.float32),
+               pltpu.VMEM((ct, nsym), jnp.float32)]
+    if emit_power:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((c, nb * 128), jnp.float32),)
+        out_specs = out_specs + (
+            pl.BlockSpec((ct, 128), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),)
+        scratch = scratch + [pltpu.VMEM((ct, nsym), jnp.float32)] * 2
+    outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -367,23 +429,18 @@ def _frontend_2d_tm(pcm, tail_raw, phase0, dd_r, dd_i, taps_key, block: int,
             dd_spec, dd_spec,
             body_spec,
         ],
-        out_specs=(
-            pl.BlockSpec((nsym, ct), lambda i, j: (j, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nsym, ct), lambda i, j: (j, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ct, 128), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            dd_spec, dd_spec,
-        ),
+        out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((ct, _HALO), jnp.float32),
-                        pltpu.VMEM((ct, nsym), jnp.float32),
-                        pltpu.VMEM((ct, nsym), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(bases_r, bases_i, tre, tim, wtab, phase0, tail_raw, dd_r, dd_i, pcm)
+    zr, zi, idxf, ndd_r, ndd_i = outs[:5]
     idx = idxf.reshape(c, nb, 128)[..., :1].astype(jnp.int32)
-    return zr, zi, idx.reshape(c, nb), ndd_r, ndd_i
+    powers = None
+    if emit_power:
+        # (F, C) per-frame mean |pick|^2 of the emitted (delayed) picks
+        powers = outs[5].reshape(c, nb, 128)[..., 0].T
+    return zr, zi, idx.reshape(c, nb), ndd_r, ndd_i, powers
 
 
 def _group(cfg, fsz: int) -> int:
@@ -525,8 +582,11 @@ def rx_frontend_fused_tm(cfg, pcm: jnp.ndarray, nco_phase: CF32,
     arithmetic; the in-kernel transpose moves data, not bits).
 
     Returns ``(zr_tm, zi_tm, index (C, nframes) int32, new_nco_phase,
-    new_fir_tail, new_decim_delay)``.  Requires
-    ``frontend_tm_supported(...)``.
+    new_fir_tail, new_decim_delay, powers)`` where ``powers`` is the
+    (nframes, C) per-frame mean |pick|^2 of the emitted planes — the
+    frame-rate AGC measurement computed in-kernel for free (bit-identical
+    to ``ops/agc._frame_power`` on the same picks; None when nsym is not
+    a power of two).  Requires ``frontend_tm_supported(...)``.
     """
     from qpsk_tpu.modem import taps_for
     from qpsk_tpu.ops import frontend as fe
@@ -556,7 +616,7 @@ def rx_frontend_fused_tm(cfg, pcm: jnp.ndarray, nco_phase: CF32,
         cw = 128
     else:
         cw = block
-    zr, zi, idx, ndd_r, ndd_i = _frontend_2d_tm(
+    zr, zi, idx, ndd_r, ndd_i, powers = _frontend_2d_tm(
         flat, tail128, phase0, decim_delay.re, decim_delay.im, taps_key,
         block=block, ct=ct, gain=float(cfg.gain),
         pcm_scale=float(cfg.pcm_scale), cycles=cfg.cycles, omega=omega,
@@ -565,4 +625,4 @@ def rx_frontend_fused_tm(cfg, pcm: jnp.ndarray, nco_phase: CF32,
     flat_in = flat.astype(jnp.float32) / jnp.float32(cfg.pcm_scale)
     new_phase = fe.advance_phase(nco_phase, omega, n)
     new_tail = fe.remix_tail(flat_in, nco_phase, omega, ntaps_m1)
-    return zr, zi, idx, new_phase, new_tail, CF32(ndd_r, ndd_i)
+    return zr, zi, idx, new_phase, new_tail, CF32(ndd_r, ndd_i), powers

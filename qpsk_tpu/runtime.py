@@ -200,13 +200,28 @@ class StreamDemodulator:
     dibit-aligned)."""
 
     def __init__(self, cfg: ModemConfig, pcfg: PacketConfig,
-                 sync_skip_frames: int = 8, probe_frames: int = 4,
+                 sync_skip_frames: int = 2, probe_frames: int | None = None,
                  resync_after: int = 8, bucket_frames: int = 8,
                  slip_track: int = 1, squelch_db: float | None = None):
         self.cfg = cfg
         self.pcfg = pcfg
+        # sync_skip default 2 (round 4, was 8): the post-onset transient
+        # with FFT acquisition is < 2 packet frames, and the latency sweep
+        # (docs/latency.jsonl) showed skip=8 buys nothing at 10 dB while
+        # DOUBLING cold start (0.90 s -> 0.45 s at bucket 8: the first
+        # bucket now holds skip + a full probe window) and eating 6 more
+        # packets per cold start.  The hunt is CRC-scored, so hunting over
+        # transient bits costs work, never a false sync.
         self.sync_skip = sync_skip_frames * pcfg.frame_bits
         self._sync_skip0 = self.sync_skip
+        # probe default: 8 frames for coded links, 4 uncoded.  Measured
+        # (docs/sync_floor_coded.jsonl): the soft hunt's score over 4
+        # probe packets is indistinguishable from noise right where the
+        # coded link still decodes (PER ~0.85 at 3 dB); 8 probes move the
+        # sync floor down ~1 dB to the decode floor, and once synced the
+        # PER is identical — the extra probe only costs hunt width.
+        if probe_frames is None:
+            probe_frames = 8 if pcfg.fec else 4
         self.probe_frames = probe_frames
         self.resync_after = resync_after
         self.bucket_frames = bucket_frames
@@ -382,7 +397,12 @@ class StreamDemodulator:
                                      probe_frames=self.probe_frames,
                                      lag_step=self._lag_step,
                                      soft=self._use_soft)
-            if int(sync.score) >= max(2, self.probe_frames - 1):
+            # acceptance threshold: a CRC-scored hypothesis with 3 hits is
+            # already collision-proof (~2^-48 false rate); demanding
+            # probe-1 hits with the longer coded probe (8) would require
+            # 7/8 packet successes — unreachable exactly at the low-SNR
+            # points the longer probe exists to acquire
+            if int(sync.score) >= max(2, min(self.probe_frames - 1, 3)):
                 # consume everything before the first aligned packet
                 cut = self.sync_skip + int(sync.bit_lag)
                 self._bit_buf = self._bit_buf[:, cut:]

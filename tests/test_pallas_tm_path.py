@@ -41,7 +41,7 @@ def test_frontend_tm_matches_host_delay_fold():
     dd = CF32(jnp.asarray(rng.normal(size=(c, nsym)), jnp.float32),
               jnp.asarray(rng.normal(size=(c, nsym)), jnp.float32))
 
-    zr, zi, idx_tm, ph_tm, tl_tm, ndd = rx_frontend_fused_tm(
+    zr, zi, idx_tm, ph_tm, tl_tm, ndd, _pw = rx_frontend_fused_tm(
         CFG, pcm, st.nco_phase, st.fir_tail, dd, interpret=True)
 
     picks, idx, ph, tl = rx_frontend_fused(
@@ -74,12 +74,12 @@ def test_frontend_tm_chains_across_calls():
     st = rx_init(CFG, batch_shape=(c,))
     dd0 = CF32(st.decim_delay.re, st.decim_delay.im)
 
-    z1r, z1i, i1, ph1, tl1, dd1 = rx_frontend_fused_tm(
+    z1r, z1i, i1, ph1, tl1, dd1, _ = rx_frontend_fused_tm(
         CFG, pcm[:, :3], st.nco_phase, st.fir_tail, dd0, interpret=True)
-    z2r, z2i, i2, _, _, dd2 = rx_frontend_fused_tm(
+    z2r, z2i, i2, _, _, dd2, _ = rx_frontend_fused_tm(
         CFG, pcm[:, 3:], ph1, tl1, dd1, interpret=True)
 
-    zr, zi, idx, _, _, dd = rx_frontend_fused_tm(
+    zr, zi, idx, _, _, dd, _ = rx_frontend_fused_tm(
         CFG, pcm, st.nco_phase, st.fir_tail, dd0, interpret=True)
     np.testing.assert_allclose(
         np.concatenate([np.asarray(z1r), np.asarray(z2r)]), np.asarray(zr),

@@ -81,10 +81,15 @@ def scenarios():
         "uncoded": dict(cfg=base, pcfg=PacketConfig(payload_bytes=30),
                         snrs=SNRS, nframes=350, seeds=(0, 1, 2), paths=None,
                         fname="per_vs_snr.jsonl", tag={"fec": False}),
+        # probe_frames=8 for the coded rows: the 4-probe soft hunt is
+        # score-starved exactly where the coded link still decodes
+        # (docs/sync_floor_coded.jsonl) — 8 probes put the sync floor at
+        # the decode floor with identical post-sync PER
         "conv": dict(cfg=base,
                      pcfg=PacketConfig(payload_bytes=30, fec="conv"),
                      snrs=SNRS, nframes=350, seeds=(0, 1, 2), paths=None,
-                     fname="per_vs_snr_coded.jsonl", tag={"fec": True}),
+                     fname="per_vs_snr_coded.jsonl", tag={"fec": True},
+                     probe_frames=8),
         "ldpc": dict(cfg=base,
                      pcfg=PacketConfig(payload_bytes=30, fec="ldpc"),
                      snrs=SNRS, nframes=120,
@@ -139,7 +144,7 @@ def scenarios():
         "bpsk_conv": dict(
             cfg=ModemConfig(modulation="bpsk"),
             pcfg=PacketConfig(payload_bytes=30, fec="conv"),
-            snrs=[1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+            snrs=[-2.0, -1.0, 0.0, 1.0, 2.0, 3.0, 4.0],
             nframes=350, seeds=(0, 1, 2), paths=None,
             fname="per_vs_snr_bpsk_coded.jsonl",
             tag={"fec": True, "modulation": "bpsk"}),
