@@ -650,7 +650,9 @@ def latency_benchmark(bucket_frames: int | None = None,
     pcfg = pcfg or PacketConfig(payload_bytes=30)
     platform = jax.devices()[0].platform
     bucket_frames = bucket_frames or 8
-    sync_skip_frames = 8 if sync_skip_frames is None else sync_skip_frames
+    # mirror the StreamDemodulator defaults (runtime.py): skip=2 is the
+    # round-4 default chosen FROM this benchmark's sweep
+    sync_skip_frames = 2 if sync_skip_frames is None else sync_skip_frames
     probe_frames = probe_frames or 4
     chunk = chunk or 480
 

@@ -354,10 +354,12 @@ def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
 
 @functools.partial(
     jax.jit, static_argnames=("taps_key", "block", "ct", "gain", "pcm_scale",
-                              "cycles", "omega", "cw", "interpret"))
+                              "cycles", "omega", "cw", "want_power",
+                              "interpret"))
 def _frontend_2d_tm(pcm, tail_raw, phase0, dd_r, dd_i, taps_key, block: int,
                     ct: int, gain: float, pcm_scale: float, cycles: int,
-                    omega: float, cw: int, interpret: bool = False):
+                    omega: float, cw: int, want_power: bool = True,
+                    interpret: bool = False):
     """tm_delay launch (g == 1): emits the one-frame-DELAYED picks
     TIME-MAJOR as (T, C) planes — the exact input layout of the fused
     Costas kernel — plus the stream-final picks as the next decim_delay.
@@ -378,7 +380,7 @@ def _frontend_2d_tm(pcm, tail_raw, phase0, dd_r, dd_i, taps_key, block: int,
     # per-frame pick-power emission (the frame-rate AGC's measurement)
     # needs the in-kernel halves tree, which wants a power-of-two symbol
     # count; every real config satisfies it (nsym = 128 at 2400 baud)
-    emit_power = nsym >= 2 and (nsym & (nsym - 1)) == 0
+    emit_power = want_power and nsym >= 2 and (nsym & (nsym - 1)) == 0
     body_spec = pl.BlockSpec((ct, block), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, gain=gain, pcm_scale=pcm_scale,
@@ -569,6 +571,7 @@ def frontend_tm_supported(cfg, batch_shape, fsz: int,
 
 def rx_frontend_fused_tm(cfg, pcm: jnp.ndarray, nco_phase: CF32,
                          fir_tail: CF32, decim_delay: CF32,
+                         want_power: bool | None = None,
                          interpret: bool = False):
     """Fused front-end INCLUDING the one-frame decimation delay, emitting
     time-major symbol planes.
@@ -585,13 +588,17 @@ def rx_frontend_fused_tm(cfg, pcm: jnp.ndarray, nco_phase: CF32,
     new_fir_tail, new_decim_delay, powers)`` where ``powers`` is the
     (nframes, C) per-frame mean |pick|^2 of the emitted planes — the
     frame-rate AGC measurement computed in-kernel for free (bit-identical
-    to ``ops/agc._frame_power`` on the same picks; None when nsym is not
-    a power of two).  Requires ``frontend_tm_supported(...)``.
+    to ``ops/agc._frame_power`` on the same picks; None when disabled or
+    nsym is not a power of two).  ``want_power`` defaults to
+    ``cfg.agc`` — non-AGC configs skip the in-kernel tree entirely.
+    Requires ``frontend_tm_supported(...)``.
     """
     from qpsk_tpu.modem import taps_for
     from qpsk_tpu.ops import frontend as fe
 
     interpret = interpret or jax.default_backend() != "tpu"
+    if want_power is None:
+        want_power = bool(cfg.agc)
     c, nframes, fsz = pcm.shape
     nsym = fsz // cfg.cycles
     assert c % 128 == 0 and nsym >= 128 and nsym % 128 == 0, (c, nsym)
@@ -620,7 +627,7 @@ def rx_frontend_fused_tm(cfg, pcm: jnp.ndarray, nco_phase: CF32,
         flat, tail128, phase0, decim_delay.re, decim_delay.im, taps_key,
         block=block, ct=ct, gain=float(cfg.gain),
         pcm_scale=float(cfg.pcm_scale), cycles=cfg.cycles, omega=omega,
-        cw=cw, interpret=interpret)
+        cw=cw, want_power=want_power, interpret=interpret)
 
     flat_in = flat.astype(jnp.float32) / jnp.float32(cfg.pcm_scale)
     new_phase = fe.advance_phase(nco_phase, omega, n)
