@@ -12,33 +12,36 @@ Measurement discipline (matters on tunneled/remote TPU backends):
   ``np.asarray`` of a full output would measure the transfer;
 * iterations chain the state pytree so XLA cannot overlap them.
 
-Measured on one TPU v5e chip (2026-08-19, docs/bench_suite_v5e.jsonl):
-**28.7 Gsamples/s** aggregate RX at 4096 channels (25.9 at 2048) —
-~2300x the 12.5 MS/s per-chip share of the BASELINE 100 MS/s v5e-8
-target.  The fused mix-free Pallas front-end kernel runs 43.1 GS/s
-standalone (chunked Toeplitz + scratch halo + modulated taps,
-ops/pallas/frontend_kernel.py; 44.1 at 4096 ch — linear in channels) vs
-9.2 GS/s for the staged XLA chain; the fused Costas kernel 17.7
-Gsymbols/s at 2048 channels x 2048 symbols in the block-rate-trace mode
-rx_stream uses (25.9 at 4096 ch — the serial step cost is issue
-overhead, so wider channel batches amortize it).  Since round 3 the two
-kernels compose with ZERO host glue (the tm fast path, modem._use_tm_path):
-the front-end emits one-frame-DELAYED picks time-major straight into the
-Costas kernel — no delay concat, no (C, T) fold transpose, freq trace
-written at block rate — and the Costas kernel slices the constellation
-in-line, emitting hard bits as PACKED dibit words (0.25 B/symbol): the
-composed path is HBM-bandwidth-bound (~550 GB/s sustained), and killing
-the slicer's 8 B/symbol derot re-read bought the last +10 % at 4096
-channels.  Two things
+Measured on one TPU v5e chip (2026-08-20, docs/bench_suite_v5e.jsonl —
+every row a fresh-process run; same-session variance under sustained
+load is ±8-10%, docs/ROUND4_NOTES.md): **28.9 Gsamples/s** aggregate RX
+at 8192 channels x 8 frames — ~2315x the 12.5 MS/s per-chip share of
+the BASELINE 100 MS/s v5e-8 target; the generic family rides the same
+zero-glue path at 25.8-26.2 (8PSK) / 22.0-22.3 (16QAM+AGC).  The fused mix-free Pallas front-end
+kernel runs ~41 GS/s standalone (chunked Toeplitz + scratch halo +
+modulated taps, ops/pallas/frontend_kernel.py) vs 9.2 GS/s for the
+staged XLA chain; the fused Costas kernel 16.1 Gsymbols/s at 2048
+channels x 2048 symbols in the block-rate-trace mode rx_stream uses
+(28.3 at 8192 ch — the serial step cost is issue overhead, so wider
+channel batches amortize it).  The two kernels compose with ZERO host
+glue (the tm fast path, modem._use_tm_path): the front-end emits
+one-frame-DELAYED picks time-major straight into the Costas kernel — no
+delay concat, no (C, T) fold transpose, freq trace written at block
+rate — and the Costas kernel slices the constellation in-line (packed
+dibit words for QPSK, packed DD labels for the family; 0.25-0.5
+B/symbol), with the frame-rate AGC measured by the front-end kernel and
+applied in-register.  With the slicer re-read gone the composed path is
+NOT HBM-bound (the rx record attaches utils/roofline.composed_rx_report:
+~232 GB/s implied, fraction 0.28, bound "serial-step+mxu").  Two things
 matter equally: the fused rx_stream path and amortizing the relayed
 backend's ~1.8 ms per-launch cost over an in-jit fori_loop of chained
 steps — per-call timing measures the tunnel, not the chip (a null
 ``x*2`` jit costs 1.76 ms/call here).  The naive per-frame scan with a
 ``take_along_axis`` decimator ran 30x slower than the fused path.
 Negative results (don't retry): frames=32 at 4096 ch measured 23.9 GS/s
-(worse than 16); Costas tt tile 2x/4x sweeps moved <=0.5 %; 8192
-channels regressed the aggregate to 18.3 GS/s though the Costas kernel
-alone reached 28.4 Gsym/s there.
+(worse than 16); Costas tt tile 2x/4x sweeps moved <=0.5 %; 16384x4 and
+16384x8 both regress (26.7/26.1) — hold channels*frames at the ~64k-
+symbol working-set sweet spot, not bigger.
 """
 
 from __future__ import annotations
@@ -130,10 +133,15 @@ def rx_throughput(channels: int | None = None, frames: int | None = None,
     cfg = cfg or ModemConfig()
     ndev = len(jax.devices())
     platform = jax.devices()[0].platform
-    # 4096 channels is the measured v5e aggregate peak (26.0 vs 25.6 GS/s
-    # at 2048; 8192 regresses — docs/ROUND3_NOTES.md)
-    channels = channels or (4096 if platform == "tpu" else 16)
-    frames = frames or (16 if platform == "tpu" else 4)
+    # operating point: 8192 channels x 8 frames (round 4).  The round-3
+    # "8192 regresses" finding was the per-pass WORKING SET, not the
+    # channel count: at constant channels*frames (~64k symbols of picks/
+    # derot planes in flight) 8192x8 reads 28.7-28.9 GS/s vs 4096x16's
+    # 28.3-28.5 same-process — the Costas serial step amortizes over
+    # more lanes while the inter-kernel plane footprint stays at the
+    # 4096-point's size.  16384x4 and 16384x8 both regress (~26.7/26.1).
+    channels = channels or (8192 if platform == "tpu" else 16)
+    frames = frames or (8 if platform == "tpu" else 4)
     iters = iters or (60 if platform == "tpu" else 3)
     # inner: chained steps per dispatch.  A single relayed-executable launch
     # costs ~1.8 ms on the tunneled backend (measured: a null x*2 jit) —

@@ -98,3 +98,19 @@ def test_stream_demodulator_8psk_resync_after_gap():
     assert from_first >= 20, from_first
     assert len(ok) - from_first >= 15, len(ok) - from_first
     assert demod.counters.resyncs >= 1
+
+
+@pytest.mark.slow
+def test_stream_demodulator_8psk_ldpc_soft():
+    """Coded 8PSK with the LDPC family through the runtime (the
+    configuration docs/per_vs_snr_8psk_ldpc.jsonl soaks): min-sum decodes
+    from the per-rotation LLR rows at the coded operating point."""
+    cfg = _cfg("8psk")
+    pcfg = PacketConfig(payload_bytes=30, fec="ldpc")
+    payload, pcm = _tx(cfg, pcfg, 40, snr=15.0, seed=5)
+    demod = StreamDemodulator(cfg, pcfg)
+    got = list(demod.push(pcm)) + list(demod.flush())
+    ok = [p for p in got if p.crc_ok]
+    assert len(ok) >= 20, (len(ok), len(got))
+    wanted = _payload_set(payload)
+    assert all(p.payload.astype(np.uint8).tobytes() in wanted for p in ok)
