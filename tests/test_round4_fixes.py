@@ -310,3 +310,39 @@ def test_stream_slip_8psk_adopts_shift():
     assert len(ok) >= npkts - 12, (len(ok), len(got))
     wanted = {p.tobytes() for p in payload.astype(np.uint8)}
     assert all(p.payload.astype(np.uint8).tobytes() in wanted for p in ok)
+
+
+def test_qpsk_gear_agc_tm_path(monkeypatch):
+    """QPSK + gear-shift loop + AGC through the tm path (in-kernel gains
+    compose with the 4-plane gear state and the packed dibit slicer) vs
+    the composed path — CPU bar: decode equality + closeness (the AGC
+    power computation differs per compilation context on XLA:CPU)."""
+    import dataclasses
+
+    from qpsk_tpu import modem as modem_mod
+    from qpsk_tpu.config import TAU
+
+    cfg = ModemConfig(agc=True, loop_bw_track=TAU / 200.0,
+                      frontend_impl="pallas", costas_impl="pallas")
+    c, nframes = 128, 8
+    rng = np.random.default_rng(8)
+    payload = rng.integers(0, 2, (c, nframes, cfg.bits_per_frame),
+                           dtype=np.int32)
+    _, pcm = tx_stream(cfg, tx_init(cfg, batch_shape=(c,)),
+                       jnp.asarray(payload), tx_offset_hz=40.0)
+    st = rx_init(cfg, batch_shape=(c,))
+
+    assert modem_mod._use_tm_path(cfg, (c,), cfg.frame_size, nframes, True)
+    st_tm, out_tm = rx_stream(cfg, st, pcm)
+
+    monkeypatch.setattr(modem_mod, "_use_tm_path", lambda *a, **k: False)
+    st_nt, out_nt = rx_stream(cfg, st, pcm)
+
+    bits_a, bits_b = np.asarray(out_tm.bits), np.asarray(out_nt.bits)
+    assert (bits_a != bits_b).mean() < 1e-3, (bits_a != bits_b).mean()
+    np.testing.assert_allclose(np.asarray(out_tm.symbols.re),
+                               np.asarray(out_nt.symbols.re), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_tm.costas.lev),
+                               np.asarray(st_nt.costas.lev), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_tm.agc), np.asarray(st_nt.agc),
+                               rtol=1e-5)
