@@ -158,10 +158,11 @@ def cmd_loopback(args) -> int:
     _, out = rx_stream(cfg, rx_init(cfg, acq_freq=acq),
                        flat.reshape(-1, cfg.frame_size))
 
-    if args.frames < 8:
-        print(f"error: --frames must be >= 8 (packet sync needs a probe "
-              f"window past the Costas transient), got {args.frames}",
-              file=sys.stderr)
+    min_frames = 16 if pcfg.fec else 8
+    if args.frames < min_frames:
+        print(f"error: --frames must be >= {min_frames} (packet sync needs "
+              f"a probe window past the Costas transient; coded links probe "
+              f"8 packet frames), got {args.frames}", file=sys.stderr)
         return 2
     skip = min(8, args.frames // 4)
     bits = out.bits.ravel()
@@ -192,12 +193,15 @@ def cmd_loopback(args) -> int:
                 modfam.get(cfg.modulation), scale=cfg.agc_target)
             rows = rotated_streams(None, cfg.modulation,
                                    soft=scores[skip_bits // bps:])
+        # coded links probe 8 frames: the 4-probe hunt is score-starved
+        # exactly at the soft decode floor (docs/sync_floor_coded.jsonl)
         sync = find_sync_streams(pcfg, rows, max_lag=default_max_lag(pcfg),
-                                 probe_frames=4, soft=True,
+                                 probe_frames=8, soft=True,
                                  lag_step=_mod_geometry(cfg.modulation)[2])
     else:
         sync = find_sync(pcfg, bits[skip_bits:],
-                         max_lag=default_max_lag(pcfg), probe_frames=4,
+                         max_lag=default_max_lag(pcfg),
+                         probe_frames=8 if pcfg.fec else 4,
                          modulation=cfg.modulation)
     navail = (bits.size - skip_bits - int(sync.bit_lag)) // pcfg.frame_bits
     # sustained clock drift can wrap the timing phase and slip the symbol
@@ -555,7 +559,8 @@ def cmd_rx(args) -> int:
     skip = min(8, nframes // 4) * pcfg.frame_bits
     skip -= skip % cfg.bits_per_symbol   # symbol-aligned (generic family)
     sync = find_sync(pcfg, bits[skip:], max_lag=default_max_lag(pcfg),
-                     probe_frames=4, modulation=cfg.modulation)
+                     probe_frames=8 if pcfg.fec else 4,
+                     modulation=cfg.modulation)
     navail = (bits.size - skip - int(sync.bit_lag)) // pcfg.frame_bits
     rx = extract_packets_tracked(pcfg, bits[skip:], sync, navail,
                                  modulation=cfg.modulation)
@@ -625,7 +630,8 @@ def cmd_fdm(args) -> int:
     for c in range(c_n):
         b = out.bits[c].ravel()
         sync = find_sync(pcfg, b[skip:], max_lag=default_max_lag(pcfg),
-                         probe_frames=4, modulation=cfg.modulation)
+                         probe_frames=8 if pcfg.fec else 4,
+                         modulation=cfg.modulation)
         navail = (b.size - skip - int(sync.bit_lag)) // pcfg.frame_bits
         if use_soft and cfg.modulation == "qpsk":
             # soft-decision extraction, like loopback (hard-input decode
