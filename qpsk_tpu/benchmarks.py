@@ -444,6 +444,11 @@ def fec_throughput(kind: str = "conv", packets: int | None = None,
         from qpsk_tpu.utils.roofline import ldpc_report
         rec.update(ldpc_report(code, packets,
                                measured_s=dt / (iters * inner)))
+    elif kind == "conv" and platform == "tpu":
+        from qpsk_tpu.utils.roofline import viterbi_report
+        rec.update(viterbi_report(nbits + code.constraint - 1,
+                                  code.nstates, packets,
+                                  measured_s=dt / (iters * inner)))
     return rec
 
 

@@ -207,3 +207,31 @@ def ldpc_report(code, batch: int, measured_s: float) -> dict:
         "bound": "mxu+vpu-serialization",
         "dmax": int(dmax),
     }
+
+
+def viterbi_report(nbits: int, states: int, batch: int,
+                   measured_s: float) -> dict:
+    """Measured-vs-roofline record for the fused Viterbi kernel pair —
+    the bound statement completing the FEC story (the LDPC twin is
+    ``ldpc_report``).
+
+    Priced terms: the decision-plane HBM round trip (the forward pass
+    writes one bf16 decision per (step, state, packet); the traceback
+    re-reads it) plus the LLR input — everything else lives in VMEM.
+    The ACS itself is gather-free VPU work (~10 elementwise ops per
+    (state, packet) per step; deliberately NOT on the MXU, which would
+    truncate path metrics to bf16), serialized over the nbits trellis
+    steps: when hbm_fraction is small, the bound is the serial
+    VPU-issue floor of the two scans — amortized over the batch lanes,
+    exactly like the Costas step, and recoverable only by widening the
+    batch, not by more FLOPs."""
+    dec_bytes = 2.0 * nbits * states * batch * 2.0     # write + re-read
+    llr_bytes = 4.0 * 2 * nbits * batch
+    hbm = dec_bytes + llr_bytes
+    return {
+        "hbm_bytes_per_decode": round(hbm / batch, 0),
+        "hbm_fraction": round(hbm / PEAK_HBM_BPS / measured_s, 4),
+        "bound": "serial-acs-vpu" if hbm / PEAK_HBM_BPS / measured_s < 0.5
+        else "hbm",
+        "trellis_steps": int(nbits), "states": int(states),
+    }
