@@ -528,3 +528,76 @@ class StreamDemodulator:
             self._pcm_buf = self._pcm_buf[fsz:]
         out.extend(self._drain())
         return out
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (SURVEY.md §5 A4, the 24/7-receiver half): the
+    # modem pytree state was always serializable (utils/checkpoint); this
+    # captures the RECEIVER around it — sample/bit/LLR buffers, the sync
+    # epoch, the slip-track lead window, counters — so a long-running
+    # process can restart mid-stream without re-acquiring.
+
+    def save(self, path: str) -> None:
+        """Serialize the full receiver state to a dependency-free .npz.
+        Resume with ``load`` on a StreamDemodulator built with the SAME
+        cfg/pcfg/knobs; the next ``push`` continues the stream exactly
+        where this one stopped (same packets, same counters)."""
+        import dataclasses as _dc
+
+        import jax
+
+        arrays = {
+            "pcm_buf": self._pcm_buf, "bit_buf": self._bit_buf,
+            "llr_buf": self._llr_buf, "lead": self._lead,
+            "lead_llr": self._lead_llr,
+            "scalars": np.asarray([
+                self.sync_skip, self._rotation, self._consecutive_bad,
+                self._pkt_index, 1 if self._sync is not None else 0,
+                0 if self._sync is None else int(self._sync.rotation),
+                0 if self._sync is None else int(self._sync.bit_lag),
+                0 if self._sync is None else int(self._sync.score),
+                1 if self._state is not None else 0,
+            ], np.int64),
+            "counters": np.asarray(
+                [float(v) for v in _dc.astuple(self.counters)], np.float64),
+        }
+        if self._state is not None:
+            for i, leaf in enumerate(jax.tree.leaves(self._state)):
+                arrays[f"rx_leaf_{i}"] = np.asarray(leaf)
+        np.savez(path, **arrays)
+
+    def load(self, path: str) -> None:
+        """Restore a receiver checkpoint written by ``save`` (onto a
+        demodulator constructed with the same cfg/pcfg/knobs)."""
+        import dataclasses as _dc
+
+        import jax
+
+        from qpsk_tpu.state import rx_init
+
+        data = np.load(path)
+        self._pcm_buf = data["pcm_buf"].astype(np.int16)
+        self._bit_buf = data["bit_buf"].astype(np.int32)
+        self._llr_buf = data["llr_buf"].astype(np.float32)
+        self._lead = data["lead"].astype(np.int32)
+        self._lead_llr = data["lead_llr"].astype(np.float32)
+        s = data["scalars"]
+        self.sync_skip = int(s[0])
+        self._rotation = int(s[1])
+        self._consecutive_bad = int(s[2])
+        self._pkt_index = int(s[3])
+        self._sync = (SyncResult(jnp.int32(s[5]), jnp.int32(s[6]),
+                                 jnp.int32(s[7])) if s[4] else None)
+        fields = [f.name for f in _dc.fields(LinkCounters)]
+        vals = data["counters"]
+        for name, v in zip(fields, vals):
+            cur = getattr(self.counters, name)
+            setattr(self.counters, name,
+                    type(cur)(v) if not isinstance(cur, bool) else v > 0.5)
+        if s[8]:
+            like = rx_init(self.cfg)
+            leaves = [jnp.asarray(data[f"rx_leaf_{i}"])
+                      for i in range(len(jax.tree.leaves(like)))]
+            self._state = jax.tree.unflatten(
+                jax.tree.structure(like), leaves)
+        else:
+            self._state = None

@@ -346,3 +346,50 @@ def test_qpsk_gear_agc_tm_path(monkeypatch):
                                np.asarray(st_nt.costas.lev), atol=1e-4)
     np.testing.assert_allclose(np.asarray(st_tm.agc), np.asarray(st_nt.agc),
                                rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# streaming checkpoint / resume
+
+@pytest.mark.parametrize("fec", [False, "conv"])
+def test_stream_demodulator_checkpoint_resume(tmp_path, fec):
+    """save/load mid-stream: a restarted receiver continues the epoch
+    exactly — the resumed second half emits the same packets (payloads,
+    CRC verdicts, stream indices) as an uninterrupted run."""
+    cfg = ModemConfig()
+    pcfg = PacketConfig(payload_bytes=30, fec=fec)
+    rng = np.random.default_rng(9)
+    payload = rng.integers(0, 2, (40, 240), dtype=np.int32)
+    chan = assemble_packet(pcfg, jnp.asarray(payload)).ravel()
+    mfb = cfg.bits_per_frame
+    npad = (-chan.size) % mfb
+    if npad:
+        chan = jnp.concatenate(
+            [chan, jnp.asarray(rng.integers(0, 2, (npad,), np.int32))])
+    _, pcm = tx_stream(cfg, tx_init(cfg), chan.reshape(-1, mfb),
+                       tx_offset_hz=50.0)
+    sp = float(jnp.mean((pcm.astype(jnp.float32) / 16384.0) ** 2))
+    pcm = np.asarray(awgn_pcm(jax.random.key(9), pcm, snr_db=10.0,
+                              signal_power=sp)).ravel()
+    cut = (pcm.size // 2 // 512) * 512 + 173   # mid-bucket, odd offset
+
+    ref = StreamDemodulator(cfg, pcfg)
+    ref_pkts = list(ref.push(pcm)) + list(ref.flush())
+
+    d1 = StreamDemodulator(cfg, pcfg)
+    first = list(d1.push(pcm[:cut]))
+    path = str(tmp_path / "rx.npz")
+    d1.save(path)
+
+    d2 = StreamDemodulator(cfg, pcfg)
+    d2.load(path)
+    second = list(d2.push(pcm[cut:])) + list(d2.flush())
+
+    got = first + second
+    assert len(got) == len(ref_pkts), (len(got), len(ref_pkts))
+    for a, b in zip(got, ref_pkts):
+        assert a.crc_ok == b.crc_ok
+        assert a.stream_index == b.stream_index
+        np.testing.assert_array_equal(a.payload, b.payload)
+    assert d2.counters.packets == ref.counters.packets
+    assert d2.counters.detected_offset_hz == ref.counters.detected_offset_hz
