@@ -242,6 +242,40 @@ class FdmReceiver:
             out[c].extend(d.flush())
         return out
 
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Checkpoint the wideband receiver: the filterbank state, the
+        wideband sample buffer, and every subchannel demodulator
+        (StreamDemodulator.save) — one .npz; resume with ``load`` on an
+        FdmReceiver built with the same configs."""
+        import io
+
+        import jax
+
+        arrays = {"wide_buf": self._buf}
+        for i, leaf in enumerate(jax.tree.leaves(self._state)):
+            arrays[f"fb_leaf_{i}"] = np.asarray(leaf)
+        for c, d in enumerate(self.demods):
+            buf = io.BytesIO()
+            d.save(buf)
+            arrays[f"chan_{c}"] = np.frombuffer(buf.getvalue(), np.uint8)
+        np.savez(path, **arrays)
+
+    def load(self, path: str) -> None:
+        """Restore a checkpoint written by ``save``."""
+        import io
+
+        import jax
+
+        data = np.load(path)
+        self._buf = data["wide_buf"].astype(np.int16)
+        like = fdm_init(self.fcfg)
+        leaves = [jnp.asarray(data[f"fb_leaf_{i}"])
+                  for i in range(len(jax.tree.leaves(like)))]
+        self._state = jax.tree.unflatten(jax.tree.structure(like), leaves)
+        for c, d in enumerate(self.demods):
+            d.load(io.BytesIO(data[f"chan_{c}"].tobytes()))
+
 
 def fdm_mux(fcfg: FdmConfig, pcm: jnp.ndarray) -> jnp.ndarray:
     """One-shot ``fdm_mux_stream`` from silence."""
@@ -253,3 +287,4 @@ def fdm_demux(fcfg: FdmConfig, wide: jnp.ndarray) -> jnp.ndarray:
     """One-shot ``fdm_demux_stream`` from silence."""
     pcm, _ = fdm_demux_stream(fcfg, wide, fdm_init(fcfg))
     return pcm
+

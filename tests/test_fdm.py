@@ -6,6 +6,7 @@ Capability extension — the reference is single-carrier (qpsk.h:16-18).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qpsk_tpu import ModemConfig, rx_init, tx_init
 from qpsk_tpu.channel import awgn_pcm
@@ -204,3 +205,50 @@ def test_fdm_modem_loopback_all_channels_bit_exact():
         assert all(pays[j].tobytes() in tx_set for j in range(len(ok))), c
         off = float(np.mean(np.asarray(out.freq_hz)[c, -5:]))
         assert abs(off - 50.0) < 3.0, (c, off)
+
+
+@pytest.mark.slow
+def test_fdm_receiver_checkpoint_resume(tmp_path):
+    """FdmReceiver.save/load mid-stream: the resumed wideband receiver's
+    second half emits the same per-channel packets as an uninterrupted
+    run (filterbank state + wideband buffer + every subchannel
+    demodulator round-trip)."""
+    cfg = ModemConfig()
+    pcfg = PacketConfig(payload_bytes=30)
+    fcfg = FdmConfig(nslots=8)
+    c_n = fcfg.nchan
+    nframes = 20
+    rng = np.random.default_rng(7)
+    payload = jnp.asarray(rng.integers(0, 2, (c_n, nframes, 240),
+                                       dtype=np.int32))
+    _, pcm = tx_stream(cfg, tx_init(cfg, batch_shape=(c_n,)),
+                       assemble_packet(pcfg, payload), tx_offset_hz=50.0)
+    wide = fdm_mux(fcfg, pcm.reshape(c_n, -1))
+    sp = float(jnp.mean((wide.astype(jnp.float32) / cfg.pcm_scale) ** 2))
+    wide = np.asarray(awgn_pcm(jax.random.key(4), wide, snr_db=18.0,
+                               signal_power=sp))
+
+    ref_rx = FdmReceiver(fcfg, cfg, pcfg, bucket_blocks=1024)
+    ref = [[] for _ in range(c_n)]
+    for c, pkts in enumerate(ref_rx.push(wide)):
+        ref[c].extend(pkts)
+    for c, pkts in enumerate(ref_rx.flush()):
+        ref[c].extend(pkts)
+
+    cut = wide.size // 2 + 333
+    rx1 = FdmReceiver(fcfg, cfg, pcfg, bucket_blocks=1024)
+    got = [list(p) for p in rx1.push(wide[:cut])]
+    path = str(tmp_path / "fdm.npz")
+    rx1.save(path)
+    rx2 = FdmReceiver(fcfg, cfg, pcfg, bucket_blocks=1024)
+    rx2.load(path)
+    for c, pkts in enumerate(rx2.push(wide[cut:])):
+        got[c].extend(pkts)
+    for c, pkts in enumerate(rx2.flush()):
+        got[c].extend(pkts)
+
+    for c in range(c_n):
+        assert len(got[c]) == len(ref[c]), (c, len(got[c]), len(ref[c]))
+        for a, b in zip(got[c], ref[c]):
+            assert a.crc_ok == b.crc_ok and a.stream_index == b.stream_index
+            np.testing.assert_array_equal(a.payload, b.payload)
