@@ -440,6 +440,12 @@ def _cmd_rx_stream(args) -> int:
               "buf": np.zeros(0, np.float32)}
 
     demod = StreamDemodulator(cfg, pcfg, squelch_db=args.squelch_db)
+    state_file = getattr(args, "state_file", None)
+    if state_file:
+        import os as _os
+        if _os.path.exists(state_file):
+            # resume a prior epoch: buffers, sync, counters all continue
+            demod.load(state_file)
     src = sys.stdin.buffer if args.infile == "-" else open(args.infile, "rb")
     npkts = nok = 0
 
@@ -489,7 +495,12 @@ def _cmd_rx_stream(args) -> int:
             buf = buf[:len(buf) - (len(buf) % 2)]
             emit(demod.push(convert(np.frombuffer(buf, dtype="<i2"))))
         emit(demod.push(convert(np.zeros(0, np.int16), last=True)))
-        emit(demod.flush())
+        if state_file:
+            # checkpoint BEFORE flush: flush consumes partial frames the
+            # resumed process would rather re-assemble with new samples
+            demod.save(state_file)
+        else:
+            emit(demod.flush())
     finally:
         if src is not sys.stdin.buffer:
             src.close()
@@ -728,6 +739,11 @@ def main(argv=None) -> int:
                     help="--stream carrier-detect squelch threshold (dB "
                          "blind SNR): dead-air bits are discarded, not "
                          "hunted")
+    rx.add_argument("--state-file", type=str, default=None,
+                    help="--stream checkpoint path: resumed at start if it "
+                         "exists, written at input end (instead of a final "
+                         "flush) — a restarted 24/7 receiver continues its "
+                         "sync epoch mid-stream")
     rx.add_argument("--chunk", type=int, default=32768,
                     help="--stream read size in int16 samples")
     rx.set_defaults(fn=cmd_rx)

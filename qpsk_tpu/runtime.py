@@ -172,6 +172,29 @@ class StreamModulator:
             return np.zeros(0, np.int16)
         return np.asarray(jnp.concatenate(out))
 
+    def save(self, path: str) -> None:
+        """Checkpoint the transmitter: carried TX pytree state (filter
+        tail, NCO phasor, differential phase) + pending sub-symbol bits.
+        Resume with ``load`` on a StreamModulator built with the same
+        cfg/pcfg/offset; the PCM stream continues filter-continuously."""
+        import jax
+
+        arrays = {"pend": self._pend}
+        for i, leaf in enumerate(jax.tree.leaves(self._state)):
+            arrays[f"tx_leaf_{i}"] = np.asarray(leaf)
+        np.savez(path, **arrays)
+
+    def load(self, path: str) -> None:
+        """Restore a checkpoint written by ``save``."""
+        import jax
+
+        data = np.load(path)
+        self._pend = data["pend"].astype(np.int32)
+        like = tx_init(self.cfg)
+        leaves = [jnp.asarray(data[f"tx_leaf_{i}"])
+                  for i in range(len(jax.tree.leaves(like)))]
+        self._state = jax.tree.unflatten(jax.tree.structure(like), leaves)
+
     def flush(self) -> np.ndarray:
         """Modulate any pending sub-chunk bits, zero-padded to a whole
         symbol (filler after the last packet; the receiver just ignores
@@ -592,7 +615,8 @@ class StreamDemodulator:
         for name, v in zip(fields, vals):
             cur = getattr(self.counters, name)
             setattr(self.counters, name,
-                    type(cur)(v) if not isinstance(cur, bool) else v > 0.5)
+                    bool(v > 0.5) if isinstance(cur, bool)
+                    else type(cur)(float(v)))
         if s[8]:
             like = rx_init(self.cfg)
             leaves = [jnp.asarray(data[f"rx_leaf_{i}"])

@@ -4,6 +4,8 @@ wiring, not DSP quality, which the library tests own)."""
 
 import json
 
+import pytest
+
 import numpy as np
 
 from qpsk_tpu import cli
@@ -239,3 +241,35 @@ def test_duplex_pipe_8psk(tmp_path, capsys):
     got = cap.out.strip().splitlines()
     assert len(got) >= 15, got
     assert all(g in set(payloads) for g in got)
+
+
+@pytest.mark.slow
+def test_rx_stream_state_file_resume(tmp_path, capsys):
+    """rx --stream --state-file: a receiver restarted mid-stream resumes
+    its sync epoch from the checkpoint and the two runs together decode
+    the same payload lines as one uninterrupted run."""
+    spool = str(tmp_path / "s.raw")
+    _run(capsys, ["tx", "--frames", "40", "--seed", "8", "--out", spool])
+    pcm = np.fromfile(spool, np.int16)
+
+    rc = cli.main(["rx", spool, "--stream"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    ref_lines = cap.out.strip().splitlines()
+
+    cut = pcm.size // 2 + 777
+    a, b = str(tmp_path / "a.raw"), str(tmp_path / "b.raw")
+    pcm[:cut].tofile(a)
+    pcm[cut:].tofile(b)
+    state = str(tmp_path / "rx_state.npz")
+    rc = cli.main(["rx", a, "--stream", "--state-file", state])
+    cap1 = capsys.readouterr()
+    assert rc == 0
+    rc = cli.main(["rx", b, "--stream", "--state-file", state])
+    cap2 = capsys.readouterr()
+    assert rc == 0
+    got = (cap1.out.strip().splitlines() + cap2.out.strip().splitlines())
+    # the resumed run may leave a final partial packet buffered in the
+    # state file (no flush); everything that decoded matches in order
+    assert len(got) >= len(ref_lines) - 2, (len(got), len(ref_lines))
+    assert got == ref_lines[:len(got)]

@@ -393,3 +393,30 @@ def test_stream_demodulator_checkpoint_resume(tmp_path, fec):
         np.testing.assert_array_equal(a.payload, b.payload)
     assert d2.counters.packets == ref.counters.packets
     assert d2.counters.detected_offset_hz == ref.counters.detected_offset_hz
+
+
+@pytest.mark.parametrize("name", ["qpsk", "8psk"])
+def test_stream_modulator_checkpoint_resume(tmp_path, name):
+    """StreamModulator.save/load mid-stream: the resumed transmitter's
+    PCM equals the uninterrupted stream exactly (carried filter/NCO state
+    and the 8PSK sub-symbol pending bits round-trip)."""
+    from qpsk_tpu.runtime import StreamModulator
+
+    cfg = ModemConfig(modulation=name)
+    pcfg = PacketConfig(payload_bytes=30)
+    rng = np.random.default_rng(11)
+    payload = rng.integers(0, 2, (20, 240), dtype=np.int64)
+
+    ref = StreamModulator(cfg, pcfg, tx_offset_hz=50.0)
+    pcm_ref = np.concatenate([ref.push(payload[:9]), ref.push(payload[9:]),
+                              ref.flush()])
+
+    m1 = StreamModulator(cfg, pcfg, tx_offset_hz=50.0)
+    first = m1.push(payload[:9])
+    path = str(tmp_path / "tx.npz")
+    m1.save(path)
+    m2 = StreamModulator(cfg, pcfg, tx_offset_hz=50.0)
+    m2.load(path)
+    rest = np.concatenate([m2.push(payload[9:]), m2.flush()])
+    pcm = np.concatenate([first, rest])
+    np.testing.assert_array_equal(pcm, pcm_ref)
