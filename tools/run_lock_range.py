@@ -28,6 +28,8 @@ import numpy as np  # noqa: E402
 OFFSETS_HZ = [50, 100, 150, 200, 250, 300, 350, 400]
 SNR_DB = 10.0
 SEEDS = (0, 1, 2)
+# generic-family operating SNRs (uncoded floors + margin)
+MOD_SNR = {"qpsk": 10.0, "bpsk": 10.0, "8psk": 20.0, "16qam": 22.0}
 
 
 def main() -> None:
@@ -39,28 +41,44 @@ def main() -> None:
     from qpsk_tpu.sync import (default_max_lag, extract_packets_tracked,
                                find_sync)
 
-    cfg = ModemConfig()
+    modulation = "qpsk"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    for a in sys.argv[1:]:
+        if a.startswith("--modulation="):
+            modulation = a.split("=", 1)[1]
+    sys.argv = [sys.argv[0]] + args
+    cfg = ModemConfig(modulation=modulation,
+                      agc=(modulation == "16qam"))
     pcfg = PacketConfig(payload_bytes=30)
+    snr_db = MOD_SNR[modulation]
 
     def trial(offset: float, acquire: bool, seed: int) -> float:
         rng = np.random.default_rng(seed)
         payload = jnp.asarray(rng.integers(0, 2, (30, 240), dtype=np.int32))
-        _, pcm = tx_stream(cfg, tx_init(cfg), assemble_packet(pcfg, payload),
+        chan = assemble_packet(pcfg, payload).ravel()
+        mfb = cfg.bits_per_frame
+        npad = (-chan.size) % mfb
+        if npad:
+            chan = jnp.concatenate(
+                [chan, jnp.asarray(rng.integers(0, 2, (npad,), np.int32))])
+        _, pcm = tx_stream(cfg, tx_init(cfg), chan.reshape(-1, mfb),
                            tx_offset_hz=float(offset))
         sp = float(jnp.mean((pcm.astype(jnp.float32) / cfg.pcm_scale) ** 2))
-        noisy = awgn_pcm(jax.random.key(seed + 10), pcm, snr_db=SNR_DB,
+        noisy = awgn_pcm(jax.random.key(seed + 10), pcm, snr_db=snr_db,
                          signal_power=sp)
         acq = hz_to_costas_freq(rx_acquire_hz(cfg, noisy),
                                 cfg.rs) if acquire else 0.0
         _, out = rx_stream(cfg, rx_init(cfg, acq_freq=acq), noisy)
         b = out.bits.ravel()
         skip = 8 * pcfg.frame_bits
+        skip -= skip % cfg.bits_per_symbol   # symbol-aligned (generic)
         sync = find_sync(pcfg, b[skip:], max_lag=default_max_lag(pcfg),
-                         probe_frames=4)
+                         probe_frames=4, modulation=modulation)
         if int(sync.score) < 3:
             return 0.0
         nav = (b.size - skip - int(sync.bit_lag)) // pcfg.frame_bits
-        rx = extract_packets_tracked(pcfg, b[skip:], sync, nav)
+        rx = extract_packets_tracked(pcfg, b[skip:], sync, nav,
+                                     modulation=modulation)
         return float(np.asarray(rx.crc_ok).mean())
 
     docs = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
@@ -68,17 +86,21 @@ def main() -> None:
     recs = []
     for off in OFFSETS_HZ:
         for sign in (1, -1):
-            rec = {"offset_hz": sign * off, "snr_db": SNR_DB,
+            rec = {"offset_hz": sign * off, "snr_db": snr_db,
                    "seeds": len(SEEDS)}
+            if modulation != "qpsk":
+                rec["modulation"] = modulation
             for name, acq in (("cold", False), ("fft_acq", True)):
                 fr = [trial(sign * off, acq, s) for s in SEEDS]
                 rec[f"crc_frac_{name}"] = round(float(np.mean(fr)), 4)
             recs.append(rec)
             print(json.dumps(rec), flush=True)
-    with open(os.path.join(docs, "lock_range.jsonl"), "w") as f:
+    fname = ("lock_range.jsonl" if modulation == "qpsk"
+             else f"lock_range_{modulation}.jsonl")
+    with open(os.path.join(docs, fname), "w") as f:
         for rec in recs:
             f.write(json.dumps(rec) + "\n")
-    print("wrote", os.path.join(docs, "lock_range.jsonl"))
+    print("wrote", os.path.join(docs, fname))
 
 
 if __name__ == "__main__":
