@@ -72,3 +72,28 @@ print(f"frames={c.frames}  resyncs={c.resyncs}  "
       f"carrier_snr={c.carrier_snr_db:.1f} dB  dcd={c.carrier_detect}")
 assert good >= 25 and c.resyncs >= 1
 print("ok")
+
+# --- checkpoint / resume (24/7 operation): a restarted process picks up
+# the receiver exactly where it stopped — buffers, sync epoch, counters
+import tempfile
+
+with tempfile.TemporaryDirectory() as td:
+    ckpt = f"{td}/rx.npz"
+    p3, s3 = burst(20, seed=5)
+    cut = s3.size // 2 + 173
+
+    d1 = StreamDemodulator(cfg, pcfg)
+    first = [p for p in d1.push(s3[:cut]) if p.crc_ok]
+    d1.save(ckpt)                       # process "dies" here
+
+    d2 = StreamDemodulator(cfg, pcfg)   # new process, same configs
+    d2.load(ckpt)
+    second = [p for p in d2.push(s3[cut:]) if p.crc_ok]
+    second += [p for p in d2.flush() if p.crc_ok]
+
+    ref = StreamDemodulator(cfg, pcfg)
+    uninterrupted = [p for p in ref.push(s3) if p.crc_ok]
+    uninterrupted += [p for p in ref.flush() if p.crc_ok]
+    assert len(first) + len(second) == len(uninterrupted)
+    print(f"resume: {len(first)}+{len(second)} packets across the restart "
+          f"== {len(uninterrupted)} uninterrupted")
