@@ -49,6 +49,29 @@ from jax.experimental import multihost_utils
 got = np.asarray(multihost_utils.process_allgather(y.re, tiled=True))
 if pid == 0:
     np.save(f"/tmp/mp_front_{port}.npy", got)
+
+# round 4: FULL demod dp-sharded across BOTH processes == the local
+# single-device decode, bit-for-bit (process-spanning NamedSharding
+# through the whole rx_stream, not just the front-end)
+from qpsk_tpu import rx_init
+from qpsk_tpu.modem import rx_stream
+
+c, nfr = 8, 3
+rng2 = np.random.default_rng(1)
+pcm_c = jnp.asarray(rng2.integers(-8192, 8192, (c, nfr, cfg.frame_size),
+                                  dtype=np.int16))
+mesh_dp = Mesh(np.asarray(jax.devices()), ("dp",))
+sh = NamedSharding(mesh_dp, P("dp"))
+st = jax.device_put(rx_init(cfg, batch_shape=(c,)), sh)
+xp = jax.device_put(pcm_c, sh)
+_, out = jax.jit(lambda s, x: rx_stream(cfg, s, x))(st, xp)
+bits_sh = np.asarray(multihost_utils.process_allgather(out.bits,
+                                                       tiled=True))
+_, ref = jax.jit(lambda s, x: rx_stream(cfg, s, x),
+                 device=jax.local_devices()[0])(
+    rx_init(cfg, batch_shape=(c,)), pcm_c)
+assert np.array_equal(bits_sh, np.asarray(ref.bits)),     "cross-process dp demod differs from local decode"
+print("WORKER_DEMOD_OK", pid, flush=True)
 print("WORKER_OK", pid, flush=True)
 """
 
