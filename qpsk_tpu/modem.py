@@ -234,7 +234,8 @@ def _use_fused_tx(cfg: ModemConfig, batch, nsym_total: int,
             and tx_supported(cfg, batch, nsym_total))
 
 
-def rx_acquire_hz(cfg: ModemConfig, pcm: jnp.ndarray) -> jnp.ndarray:
+def rx_acquire_hz(cfg: ModemConfig, pcm: jnp.ndarray,
+                  candidates: int = 0) -> jnp.ndarray:
     """Coarse carrier-offset estimate (Hz) from the first frames of PCM —
     the front half of the RX chain (mix-down + matched filter) feeding the
     4th-power FFT estimator (ops/acquire.py).  Use it to warm-start the
@@ -242,6 +243,12 @@ def rx_acquire_hz(cfg: ModemConfig, pcm: jnp.ndarray) -> jnp.ndarray:
 
     Capability upgrade over the reference, whose loop cold-starts and must
     be hand-tuned to pull in offsets (README.md:12).
+
+    ``candidates=k`` > 0 returns the top-k candidate offsets (..., k)
+    instead of the single estimate — the M-power spectrum carries
+    deterministic symbol-rate-displaced spurs that can out-peak the
+    carrier line at some offsets (ops/acquire.acquire_freq_candidates);
+    consumers disambiguate with the CRC-scored sync hunt.
     """
     from qpsk_tpu.ops.modfam import ACQUIRE_POWER
     power = ACQUIRE_POWER[cfg.modulation]
@@ -278,10 +285,14 @@ def rx_acquire_hz(cfg: ModemConfig, pcm: jnp.ndarray) -> jnp.ndarray:
     # as the stream affords (short flush buckets degrade to avg=1)
     start = min(cfg.ntaps, max(0, n - nfft))
     avg = max(1, min(avg_want, (n - start) // nfft))
-    return acquire.acquire_freq_hz(
-        CF32(x.re[..., start:start + avg * nfft],
-             x.im[..., start:start + avg * nfft]),
-        cfg.fs, nfft=nfft, power=power, avg=avg)
+    seg = CF32(x.re[..., start:start + avg * nfft],
+               x.im[..., start:start + avg * nfft])
+    if candidates:
+        return acquire.acquire_freq_candidates(
+            seg, cfg.fs, nfft=nfft, power=power, avg=avg,
+            ncand=candidates)
+    return acquire.acquire_freq_hz(seg, cfg.fs, nfft=nfft, power=power,
+                                   avg=avg)
 
 
 def rx_frame(cfg: ModemConfig, state: RxState, pcm: jnp.ndarray):

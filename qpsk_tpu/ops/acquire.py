@@ -87,6 +87,64 @@ def acquire_freq_hz(x: CF32, fs: float, nfft: int = 512,
     return kf * jnp.float32(fs / nfft) / jnp.float32(power)
 
 
+def _peak_hz(psd: jnp.ndarray, nfft: int, fs: float,
+             power: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(offset_hz, peak_bin) of the PSD argmax with parabolic interp."""
+    k = jnp.argmax(psd, axis=-1)
+    km = jnp.mod(k - 1, nfft)
+    kp = jnp.mod(k + 1, nfft)
+    pm = jnp.take_along_axis(psd, km[..., None], axis=-1)[..., 0]
+    p0 = jnp.take_along_axis(psd, k[..., None], axis=-1)[..., 0]
+    pp = jnp.take_along_axis(psd, kp[..., None], axis=-1)[..., 0]
+    denom = pm - 2.0 * p0 + pp
+    delta = jnp.where(jnp.abs(denom) > 1e-20,
+                      0.5 * (pm - pp) / denom, 0.0)
+    kf = k.astype(jnp.float32) + delta
+    kf = jnp.where(kf > nfft / 2, kf - nfft, kf)
+    return kf * jnp.float32(fs / nfft) / jnp.float32(power), k
+
+
+def acquire_freq_candidates(x: CF32, fs: float, nfft: int = 512,
+                            power: int = 4, avg: int = 1,
+                            ncand: int = 2,
+                            guard_bins: int = 16) -> jnp.ndarray:
+    """Top-``ncand`` carrier-offset CANDIDATES (..., ncand) in Hz,
+    strongest first.
+
+    Why candidates: the M-power spectrum carries DETERMINISTIC spurs at
+    ``M*Δf ± k*rs`` (ISI cross-terms sampled at the symbol spacing) that
+    Welch averaging cannot suppress, and at some offsets the spur
+    out-peaks the carrier line itself (measured for 8PSK at
+    +200..+300 Hz: the spur at 8Δf − rs, or at DC when 8Δf = rs, wins on
+    ~1/3 of draws — docs/lock_range_8psk.jsonl's asymmetry).  No PSD-side
+    statistic can break the tie reliably — the true line and its
+    harmonic displacements are all deterministic — but the stack's own
+    CRC-scored sync hunt can: consumers try candidate 0 and fall back to
+    candidate 1 when no sync establishes (the streaming runtime does this
+    automatically; a single-estimate receiver would re-acquire the SAME
+    wrong peak forever).  Each candidate is peak-picked with the same
+    parabolic interpolation as ``acquire_freq_hz``; ``guard_bins``
+    suppresses a cyclic window around earlier picks so candidates are
+    distinct lines, not adjacent bins of one peak.
+    """
+    seg = CF32(x.re[..., :avg * nfft].reshape(x.re.shape[:-1]
+                                              + (avg, nfft)),
+               x.im[..., :avg * nfft].reshape(x.im.shape[:-1]
+                                              + (avg, nfft)))
+    z = _mpower(seg, power)
+    spec = fft_ops.fft(z)
+    psd = jnp.mean(spec.re * spec.re + spec.im * spec.im, axis=-2)
+    bins = jnp.arange(nfft, dtype=jnp.int32)
+    cands = []
+    for _ in range(ncand):
+        f_hz, k = _peak_hz(psd, nfft, fs, power)
+        cands.append(f_hz)
+        d = jnp.abs(jnp.mod(bins - k[..., None] + nfft // 2, nfft)
+                    - nfft // 2)
+        psd = jnp.where(d <= guard_bins, 0.0, psd)
+    return jnp.stack(cands, axis=-1)
+
+
 def hz_to_costas_freq(f_hz: jnp.ndarray, rs: float) -> jnp.ndarray:
     """Hz -> Costas loop frequency units (rad/symbol), inverting the
     readback ``f = freq * RS / TAU`` (qpsk.c:217)."""

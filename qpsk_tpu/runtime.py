@@ -280,8 +280,18 @@ class StreamDemodulator:
         self._rx_jit = jax.jit(functools.partial(rx_stream, cfg))
         # jitted acquisition: cold starts re-run it per bucket during
         # squelched dead air, and the eager chain would serialize ~10
-        # blocking round trips per bucket on the relayed backend
-        self._acquire_jit = jax.jit(functools.partial(rx_acquire_hz, cfg))
+        # blocking round trips per bucket on the relayed backend.
+        # candidates=2: the M-power spectrum carries deterministic
+        # symbol-rate-displaced spurs that can out-peak the carrier line
+        # (ops/acquire.acquire_freq_candidates) — a single-estimate
+        # receiver would re-acquire the SAME wrong peak forever; here the
+        # hunt's failure to sync rotates to the next candidate.
+        self._acquire_jit = jax.jit(functools.partial(rx_acquire_hz, cfg,
+                                                      candidates=2))
+        self._acq_idx = 0    # which candidate the current epoch uses
+        self._acq_bits = 0   # bits the hunt REJECTED on this candidate
+        # two rejected hunt windows per candidate before rotating
+        self._acq_rotate_bits = 2 * default_max_lag(pcfg)
 
         self._pcm_buf = np.zeros(0, np.int16)
         self._bit_buf = np.zeros((self._nrot, 0), np.int32)
@@ -332,11 +342,26 @@ class StreamDemodulator:
         decodable burst buffered ahead of it.  Returns any packets a
         pre-squelch drain emitted."""
         nframes = chunk.shape[0]
+        if (self._sync is None and self._state is not None
+                and self.cfg.acquisition == "fft"
+                and self._acq_bits >= self._acq_rotate_bits):
+            # a full hunt's worth of bits demodulated on this acquisition
+            # candidate without a sync: the loop may be parked on an
+            # M-power spur (a deterministic wrong peak that re-acquiring
+            # the same way would pick again) — cold-restart THIS bucket on
+            # the next candidate.  Buffered bits stay (they may hold a
+            # late burst demodulated under a fine acquisition; garbage
+            # slides out of the bounded hunt anyway).
+            self._acq_idx += 1
+            self._acq_bits = 0
+            self._state = None
         if self._state is None:
             acq = 0.0
             if self.cfg.acquisition == "fft":
                 try:
-                    est = self._acquire_jit(jnp.asarray(chunk))
+                    cands = np.asarray(
+                        self._acquire_jit(jnp.asarray(chunk))).ravel()
+                    est = float(cands[self._acq_idx % cands.size])
                     acq = hz_to_costas_freq(est, self.cfg.rs)
                 except ValueError:
                     pass  # chunk too short: cold-start, acquire later
@@ -376,6 +401,8 @@ class StreamDemodulator:
                 self._llr_buf = self._llr_buf[:, :0]
                 self.sync_skip = self._sync_skip0
                 self._state = None
+                self._acq_bits = 0
+                self._acq_idx = 0   # fresh carrier: fresh candidate order
                 return pkts
             # the drain established sync mid-flush: an ESTABLISHED sync is
             # never squelch-dropped — fall through and buffer this bucket's
@@ -435,6 +462,7 @@ class StreamDemodulator:
                 self._rotation = int(sync.rotation)
                 self.counters.synced = True
                 self.sync_skip = 0  # future resyncs hunt from the head
+                self._acq_bits = 0  # this candidate acquired the carrier
                 self._pkt_index = 0  # stream_index restarts per sync epoch
                 # fresh epoch: the lead window's continuity is gone
                 self._lead = np.zeros((self._nrot, self._hw), np.int32)
@@ -449,6 +477,9 @@ class StreamDemodulator:
                 if self._use_soft:
                     self._llr_buf = self._llr_buf[:, cut:]
                 self.sync_skip = 0
+                # these bits were hunted and rejected: evidence against
+                # the current acquisition candidate (see _demod's rotation)
+                self._acq_bits += window
                 continue
             return False
 

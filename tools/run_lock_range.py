@@ -66,20 +66,30 @@ def main() -> None:
         sp = float(jnp.mean((pcm.astype(jnp.float32) / cfg.pcm_scale) ** 2))
         noisy = awgn_pcm(jax.random.key(seed + 10), pcm, snr_db=snr_db,
                          signal_power=sp)
-        acq = hz_to_costas_freq(rx_acquire_hz(cfg, noisy),
-                                cfg.rs) if acquire else 0.0
-        _, out = rx_stream(cfg, rx_init(cfg, acq_freq=acq), noisy)
-        b = out.bits.ravel()
-        skip = 8 * pcfg.frame_bits
-        skip -= skip % cfg.bits_per_symbol   # symbol-aligned (generic)
-        sync = find_sync(pcfg, b[skip:], max_lag=default_max_lag(pcfg),
-                         probe_frames=4, modulation=modulation)
-        if int(sync.score) < 3:
-            return 0.0
-        nav = (b.size - skip - int(sync.bit_lag)) // pcfg.frame_bits
-        rx = extract_packets_tracked(pcfg, b[skip:], sync, nav,
-                                     modulation=modulation)
-        return float(np.asarray(rx.crc_ok).mean())
+        # candidate fallback (ops/acquire.acquire_freq_candidates): the
+        # M-power spur can out-peak the carrier line; the CRC-scored sync
+        # disambiguates — try candidate 0, then candidate 1
+        if acquire:
+            cands = np.asarray(rx_acquire_hz(cfg, noisy,
+                                             candidates=2)).ravel()
+        else:
+            cands = np.asarray([0.0])
+        for est in cands:
+            acq = hz_to_costas_freq(jnp.float32(est), cfg.rs) \
+                if acquire else 0.0
+            _, out = rx_stream(cfg, rx_init(cfg, acq_freq=acq), noisy)
+            b = out.bits.ravel()
+            skip = 8 * pcfg.frame_bits
+            skip -= skip % cfg.bits_per_symbol   # symbol-aligned (generic)
+            sync = find_sync(pcfg, b[skip:], max_lag=default_max_lag(pcfg),
+                             probe_frames=4, modulation=modulation)
+            if int(sync.score) < 3:
+                continue
+            nav = (b.size - skip - int(sync.bit_lag)) // pcfg.frame_bits
+            rx = extract_packets_tracked(pcfg, b[skip:], sync, nav,
+                                         modulation=modulation)
+            return float(np.asarray(rx.crc_ok).mean())
+        return 0.0
 
     docs = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs")
