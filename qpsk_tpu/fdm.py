@@ -259,7 +259,8 @@ class FdmReceiver:
             buf = io.BytesIO()
             d.save(buf)
             arrays[f"chan_{c}"] = np.frombuffer(buf.getvalue(), np.uint8)
-        np.savez(path, **arrays)
+        from qpsk_tpu.utils.checkpoint import savez_exact
+        savez_exact(path, **arrays)
 
     def load(self, path: str) -> None:
         """Restore a checkpoint written by ``save``."""

@@ -87,15 +87,25 @@ def acquire_freq_hz(x: CF32, fs: float, nfft: int = 512,
     return kf * jnp.float32(fs / nfft) / jnp.float32(power)
 
 
-def _peak_hz(psd: jnp.ndarray, nfft: int, fs: float,
-             power: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(offset_hz, peak_bin) of the PSD argmax with parabolic interp."""
+def _peak_hz(psd: jnp.ndarray, nfft: int, fs: float, power: int,
+             interp_psd: jnp.ndarray | None = None,
+             ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(offset_hz, peak_bin) of the PSD argmax with parabolic interp.
+
+    ``interp_psd`` (default: ``psd`` itself) supplies the neighbor values
+    for the parabolic fit.  The candidate search masks a guard window
+    around earlier picks before re-running the argmax; interpolating
+    against that MASKED copy would read a zeroed km/kp neighbor whenever a
+    runner-up line sits adjacent to a guard edge, biasing the candidate's
+    offset by up to ~half a bin — so it passes the original PSD here."""
+    if interp_psd is None:
+        interp_psd = psd
     k = jnp.argmax(psd, axis=-1)
     km = jnp.mod(k - 1, nfft)
     kp = jnp.mod(k + 1, nfft)
-    pm = jnp.take_along_axis(psd, km[..., None], axis=-1)[..., 0]
-    p0 = jnp.take_along_axis(psd, k[..., None], axis=-1)[..., 0]
-    pp = jnp.take_along_axis(psd, kp[..., None], axis=-1)[..., 0]
+    pm = jnp.take_along_axis(interp_psd, km[..., None], axis=-1)[..., 0]
+    p0 = jnp.take_along_axis(interp_psd, k[..., None], axis=-1)[..., 0]
+    pp = jnp.take_along_axis(interp_psd, kp[..., None], axis=-1)[..., 0]
     denom = pm - 2.0 * p0 + pp
     delta = jnp.where(jnp.abs(denom) > 1e-20,
                       0.5 * (pm - pp) / denom, 0.0)
@@ -136,12 +146,13 @@ def acquire_freq_candidates(x: CF32, fs: float, nfft: int = 512,
     psd = jnp.mean(spec.re * spec.re + spec.im * spec.im, axis=-2)
     bins = jnp.arange(nfft, dtype=jnp.int32)
     cands = []
+    masked = psd   # argmax runs on the masked copy, interp on the original
     for _ in range(ncand):
-        f_hz, k = _peak_hz(psd, nfft, fs, power)
+        f_hz, k = _peak_hz(masked, nfft, fs, power, interp_psd=psd)
         cands.append(f_hz)
         d = jnp.abs(jnp.mod(bins - k[..., None] + nfft // 2, nfft)
                     - nfft // 2)
-        psd = jnp.where(d <= guard_bins, 0.0, psd)
+        masked = jnp.where(d <= guard_bins, 0.0, masked)
     return jnp.stack(cands, axis=-1)
 
 

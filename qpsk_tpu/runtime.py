@@ -179,10 +179,12 @@ class StreamModulator:
         cfg/pcfg/offset; the PCM stream continues filter-continuously."""
         import jax
 
+        from qpsk_tpu.utils.checkpoint import savez_exact
+
         arrays = {"pend": self._pend}
         for i, leaf in enumerate(jax.tree.leaves(self._state)):
             arrays[f"tx_leaf_{i}"] = np.asarray(leaf)
-        np.savez(path, **arrays)
+        savez_exact(path, **arrays)
 
     def load(self, path: str) -> None:
         """Restore a checkpoint written by ``save``."""
@@ -290,6 +292,13 @@ class StreamDemodulator:
                                                       candidates=2))
         self._acq_idx = 0    # which candidate the current epoch uses
         self._acq_bits = 0   # bits the hunt REJECTED on this candidate
+        # buffer prefix demodulated under the PREVIOUS candidate after a
+        # rotation: hunt rejections of those stale bits say nothing about
+        # the NEW candidate, so they must not count toward _acq_bits —
+        # otherwise >= 2 hunt windows of stale bits rotate the receiver
+        # straight past the correct candidate before any bits demodulated
+        # under it ever reach the hunt.
+        self._acq_stale = 0
         # two rejected hunt windows per candidate before rotating
         self._acq_rotate_bits = 2 * default_max_lag(pcfg)
 
@@ -354,6 +363,9 @@ class StreamDemodulator:
             # slides out of the bounded hunt anyway).
             self._acq_idx += 1
             self._acq_bits = 0
+            # everything buffered so far was demodulated under the OLD
+            # candidate — rejections of it don't indict the new one
+            self._acq_stale = self._bit_buf.shape[1]
             self._state = None
         if self._state is None:
             acq = 0.0
@@ -402,6 +414,7 @@ class StreamDemodulator:
                 self.sync_skip = self._sync_skip0
                 self._state = None
                 self._acq_bits = 0
+                self._acq_stale = 0
                 self._acq_idx = 0   # fresh carrier: fresh candidate order
                 return pkts
             # the drain established sync mid-flush: an ESTABLISHED sync is
@@ -463,6 +476,7 @@ class StreamDemodulator:
                 self.counters.synced = True
                 self.sync_skip = 0  # future resyncs hunt from the head
                 self._acq_bits = 0  # this candidate acquired the carrier
+                self._acq_stale = 0
                 self._pkt_index = 0  # stream_index restarts per sync epoch
                 # fresh epoch: the lead window's continuity is gone
                 self._lead = np.zeros((self._nrot, self._hw), np.int32)
@@ -476,10 +490,15 @@ class StreamDemodulator:
                 self._bit_buf = self._bit_buf[:, cut:]
                 if self._use_soft:
                     self._llr_buf = self._llr_buf[:, cut:]
+                # rejected bits are evidence against the current
+                # acquisition candidate (see _demod's rotation) — but only
+                # the bits demodulated AFTER the last rotation; the stale
+                # prefix [0, _acq_stale) came from the previous candidate
+                stale_overlap = max(0, min(cut, self._acq_stale)
+                                    - self.sync_skip)
+                self._acq_bits += window - stale_overlap
+                self._acq_stale = max(0, self._acq_stale - cut)
                 self.sync_skip = 0
-                # these bits were hunted and rejected: evidence against
-                # the current acquisition candidate (see _demod's rotation)
-                self._acq_bits += window
                 continue
             return False
 
@@ -610,6 +629,10 @@ class StreamDemodulator:
                 0 if self._sync is None else int(self._sync.bit_lag),
                 0 if self._sync is None else int(self._sync.score),
                 1 if self._state is not None else 0,
+                # acquisition-candidate epoch: a receiver saved while
+                # hunting on the spur-fallback candidate must resume on
+                # it, not re-park on the deterministic spur candidate 0
+                self._acq_idx, self._acq_bits, self._acq_stale,
             ], np.int64),
             "counters": np.asarray(
                 [float(v) for v in _dc.astuple(self.counters)], np.float64),
@@ -617,7 +640,8 @@ class StreamDemodulator:
         if self._state is not None:
             for i, leaf in enumerate(jax.tree.leaves(self._state)):
                 arrays[f"rx_leaf_{i}"] = np.asarray(leaf)
-        np.savez(path, **arrays)
+        from qpsk_tpu.utils.checkpoint import savez_exact
+        savez_exact(path, **arrays)
 
     def load(self, path: str) -> None:
         """Restore a receiver checkpoint written by ``save`` (onto a
@@ -641,6 +665,10 @@ class StreamDemodulator:
         self._pkt_index = int(s[3])
         self._sync = (SyncResult(jnp.int32(s[5]), jnp.int32(s[6]),
                                  jnp.int32(s[7])) if s[4] else None)
+        if s.size > 9:   # r5+ checkpoints carry the acquisition epoch
+            self._acq_idx = int(s[9])
+            self._acq_bits = int(s[10])
+            self._acq_stale = int(s[11])
         fields = [f.name for f in _dc.fields(LinkCounters)]
         vals = data["counters"]
         for name, v in zip(fields, vals):

@@ -20,12 +20,29 @@ import jax
 import numpy as np
 
 
+def savez_exact(path, **arrays) -> None:
+    """``np.savez`` that writes to ``path`` VERBATIM.
+
+    ``np.savez`` appends '.npz' to a string path missing that suffix, so a
+    checkpoint saved as ``foo.state`` would land at ``foo.state.npz`` while
+    resume logic checks/loads ``foo.state`` — the CLI ``--state-file``
+    resume would silently never happen for non-.npz names.  Writing through
+    an open file object suppresses the suffix append; file-like ``path``
+    objects pass straight through (FdmReceiver nests channel checkpoints
+    in BytesIO)."""
+    if hasattr(path, "write"):
+        np.savez(path, **arrays)
+    else:
+        with open(path, "wb") as fh:
+            np.savez(fh, **arrays)
+
+
 def save_state(path: str, state) -> None:
     """Serialize any modem-state pytree to an .npz file.  Device (and
     sharded) leaves are gathered to host."""
     leaves, treedef = jax.tree.flatten(state)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    np.savez(path, treedef=np.frombuffer(
+    savez_exact(path, treedef=np.frombuffer(
         repr(treedef).encode(), dtype=np.uint8), **arrays)
 
 

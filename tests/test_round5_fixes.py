@@ -1,0 +1,162 @@
+"""Round-5 ADVICE fixes:
+
+* checkpoint paths are used VERBATIM (np.savez silently appends '.npz' to
+  string paths missing the suffix, so ``--state-file foo.state`` wrote
+  foo.state.npz while resume checked foo.state — the 24/7-receiver resume
+  silently never happened for non-.npz names);
+* the receiver checkpoint carries the acquisition-candidate epoch
+  (_acq_idx/_acq_bits/_acq_stale) so a save mid-hunt on the spur-fallback
+  candidate resumes on it instead of re-parking on the spur;
+* hunt rejections of bits demodulated under a ROTATED-AWAY candidate no
+  longer count toward the new candidate's rejection budget (stale bits
+  could rotate straight past the correct candidate);
+* acquisition candidate peaks interpolate against the ORIGINAL psd, not
+  the guard-masked copy (a runner-up adjacent to a guard edge had a zeroed
+  neighbor, biasing its offset by up to ~half a bin).
+"""
+
+import numpy as np
+import pytest
+
+from qpsk_tpu import ModemConfig
+from qpsk_tpu.packet import PacketConfig
+from qpsk_tpu.runtime import StreamDemodulator, StreamModulator
+from qpsk_tpu.sync import default_max_lag
+
+
+# ---------------------------------------------------------------------------
+# checkpoint path handling
+
+def test_state_file_exact_path(tmp_path):
+    """save() writes to the exact path given — no silent '.npz' append —
+    and load() round-trips from it (the CLI --state-file contract)."""
+    cfg = ModemConfig()
+    pcfg = PacketConfig(payload_bytes=8)
+    path = str(tmp_path / "receiver.state")   # deliberately not .npz
+
+    demod = StreamDemodulator(cfg, pcfg)
+    demod.counters.frames = 7
+    demod.save(path)
+    assert (tmp_path / "receiver.state").exists()
+    assert not (tmp_path / "receiver.state.npz").exists()
+    fresh = StreamDemodulator(cfg, pcfg)
+    fresh.load(path)
+    assert fresh.counters.frames == 7
+
+    mod = StreamModulator(cfg, pcfg)
+    mpath = str(tmp_path / "sender.state")
+    mod.save(mpath)
+    assert (tmp_path / "sender.state").exists()
+    StreamModulator(cfg, pcfg).load(mpath)
+
+
+def test_save_state_exact_path(tmp_path):
+    from qpsk_tpu import rx_init
+    from qpsk_tpu.utils.checkpoint import load_state, save_state
+
+    cfg = ModemConfig()
+    st = rx_init(cfg)
+    path = str(tmp_path / "modem.ckpt")
+    save_state(path, st)
+    assert (tmp_path / "modem.ckpt").exists()
+    assert not (tmp_path / "modem.ckpt.npz").exists()
+    load_state(path, st)
+
+
+def test_fdm_receiver_exact_path(tmp_path):
+    from qpsk_tpu.fdm import FdmConfig, FdmReceiver
+
+    fcfg = FdmConfig(nslots=4)
+    cfg = ModemConfig()
+    pcfg = PacketConfig(payload_bytes=8)
+    rx = FdmReceiver(fcfg, cfg, pcfg)
+    path = str(tmp_path / "fdm.state")
+    rx.save(path)
+    assert (tmp_path / "fdm.state").exists()
+    assert not (tmp_path / "fdm.state.npz").exists()
+    FdmReceiver(fcfg, cfg, pcfg).load(path)
+
+
+# ---------------------------------------------------------------------------
+# acquisition-candidate epoch in the checkpoint
+
+def test_checkpoint_preserves_acq_epoch(tmp_path):
+    cfg = ModemConfig()
+    pcfg = PacketConfig(payload_bytes=8)
+    demod = StreamDemodulator(cfg, pcfg)
+    demod._acq_idx = 1
+    demod._acq_bits = 437
+    demod._acq_stale = 64
+    path = str(tmp_path / "hunting.npz")
+    demod.save(path)
+    fresh = StreamDemodulator(cfg, pcfg)
+    fresh.load(path)
+    assert fresh._acq_idx == 1
+    assert fresh._acq_bits == 437
+    assert fresh._acq_stale == 64
+
+
+# ---------------------------------------------------------------------------
+# stale bits after candidate rotation
+
+def test_stale_bits_do_not_count_toward_rotation():
+    """A hunt-window rejection of bits demodulated under the PREVIOUS
+    acquisition candidate must not advance _acq_bits: with >= 2 windows of
+    stale bits buffered, the old accounting rotated straight past the new
+    candidate before any of its own bits were ever hunted."""
+    cfg = ModemConfig()
+    pcfg = PacketConfig(payload_bytes=8)
+    demod = StreamDemodulator(cfg, pcfg)
+    window = default_max_lag(pcfg)
+    probe_bits = demod.probe_frames * pcfg.frame_bits + 64
+    # enough random (never-syncing) bits for exactly two window rejections
+    n = demod.sync_skip + 2 * window + probe_bits + 2
+    rng = np.random.default_rng(0)
+    demod._bit_buf = rng.integers(0, 2, (demod._nrot, n)).astype(np.int32)
+    # everything buffered is stale (just rotated candidates)
+    demod._acq_stale = n
+    assert demod._try_sync() is False
+    assert demod._acq_bits == 0, (
+        "stale-bit rejections counted toward the new candidate")
+    # fresh bits appended after the rotation DO count
+    demod._bit_buf = np.concatenate(
+        [demod._bit_buf,
+         rng.integers(0, 2, (demod._nrot, window)).astype(np.int32)], axis=1)
+    assert demod._try_sync() is False
+    assert 0 < demod._acq_bits <= window
+
+
+# ---------------------------------------------------------------------------
+# candidate peak interpolation against the original PSD
+
+def test_candidate_interp_uses_original_psd():
+    """A runner-up line adjacent to the guard edge interpolates against
+    the pre-masked psd: its offset must equal the offset _peak_hz finds on
+    the original psd with the main peak removed by hand."""
+    import jax.numpy as jnp
+
+    from qpsk_tpu.ops.acquire import _peak_hz
+
+    nfft, fs, power, guard = 512, 9600.0, 4, 16
+    psd = np.full(nfft, 0.01, np.float32)
+    psd[99:102] = [5.0, 9.0, 5.0]          # main peak, bin 100
+    psd[116:119] = [4.0, 6.0, 2.0]         # runner-up, bin 117 (asymmetric)
+
+    # ground truth: original psd with the main peak excised far away
+    truth = psd.copy()
+    truth[84:117] = 0.01
+    truth[116] = 4.0
+    f_true, k_true = _peak_hz(jnp.asarray(truth), nfft, fs, power)
+    assert int(k_true) == 117
+
+    # candidate-search view: guard window around bin 100 zeroed, which
+    # zeroes the runner-up's km neighbor (bin 116)
+    masked = psd.copy()
+    masked[100 - guard:100 + guard + 1] = 0.0
+    f_fixed, k = _peak_hz(jnp.asarray(masked), nfft, fs, power,
+                          interp_psd=jnp.asarray(psd))
+    assert int(k) == 117
+    np.testing.assert_allclose(float(f_fixed), float(f_true), atol=1e-4)
+    # and the old behavior really was biased (guards the regression)
+    f_old, _ = _peak_hz(jnp.asarray(masked), nfft, fs, power)
+    assert abs(float(f_old) - float(f_true)) > 0.1 * fs / nfft / power
