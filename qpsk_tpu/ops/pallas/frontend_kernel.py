@@ -59,10 +59,21 @@ from qpsk_tpu.ops.cplx import CF32
 
 _HALO = 128
 
+# fold the selected-phase carrier factor into the (CT, 1) phasor stage at
+# g == 1 (see _kernel).  Round-5 measured NEGATIVE result (don't retry):
+# despite removing ~12 full-plane VPU ops per block, the fold reads ~6%
+# SLOWER composed (27.0-27.1 vs 28.9 GS/s at 8192x8, interleaved
+# same-process A/B, tools/sweep_fe_fold.py) — the (CT, 1) x (1, gnsym)
+# double-broadcast multiplies schedule worse in Mosaic than the wide
+# planes they replace.  NOT a jit static arg: flip only with the launch
+# wrappers' jit caches cleared (the sweep tool does).
+_FOLD_ROT = False
+
 
 def _kernel(base_r_ref, base_i_ref, tre_ref, tim_ref, wtab_ref,
             phase0_ref, tail_ref, *refs, gain: float, pcm_scale: float,
-            cycles: int, g: int, omega: float, tm_delay: bool,
+            cycles: int, g: int, omega: float, tm_delay: bool, cw: int,
+            stack: bool = True, fuse_planes: bool = True,
             emit_power: bool = False, interpret_mode: bool = False):
     if tm_delay and emit_power:
         (ddin_r_ref, ddin_i_ref, body_ref, pr_ref, pi_ref, idx_ref,
@@ -103,19 +114,63 @@ def _kernel(base_r_ref, base_i_ref, tre_ref, tim_ref, wtab_ref,
     # the picks lane-dim on the 128 granule for small frames, e.g.
     # 1200 baud).
     gn = jnp.float32(gain)
-    nchunks, cw = tre_ref.shape[0], tre_ref.shape[2]
+    nchunks = b // cw
     mc = cw // cycles                                    # symbols/chunk/phase
     gnsym = nchunks * mc                                 # symbols per block
     nsym = gnsym // g
+    # ONE (cw+128, cw) table shared by every chunk: the Toeplitz band is
+    # shift-invariant, so all chunk slices of the full band matrix are the
+    # SAME matrix (verified numerically) — the round-3 layout stacked
+    # per-chunk copies, which read as distinct weights and re-paid the
+    # stationary-operand load per dot.  At cw=128 the (cw+128)/127
+    # structural-zero waste drops to 2.0x (the dense-matmul floor for a
+    # 127-band — any output's band spans two 128-row K tiles) vs 3.0x at
+    # cw=256, but separate per-chunk dots at cw=128 measured SLOWER on
+    # v5e even with the shared table (per-dot overhead ~ the MAC saving).
+    # The zero-minimal point is reached by ISSUING FEWER DOTS instead:
+    # ``stack`` concatenates the chunk windows along the sublane axis
+    # (one (nchunks*CT, cw+128) operand), and ``fuse_planes`` puts the
+    # re/im tap planes side by side on the lane axis — together one
+    # matmul per block computes every chunk of both planes.
+    if stack and nchunks > 1:
+        xw = jnp.concatenate(
+            [x[:, k * cw:k * cw + cw + _HALO] for k in range(nchunks)],
+            axis=0)                                      # (K*CT, cw + 128)
+    else:
+        xw = None
     chunks_r, chunks_i = [], []
-    for k in range(nchunks):
-        xw = x[:, k * cw:k * cw + cw + _HALO]            # (CT, cw + 128)
-        chunks_r.append(
-            jnp.dot(xw, tre_ref[k], preferred_element_type=jnp.float32)
-            * gn)
-        chunks_i.append(
-            jnp.dot(xw, tim_ref[k], preferred_element_type=jnp.float32)
-            * gn)
+    if fuse_planes:
+        # tre_ref holds [re | im] on the lane axis: (cw+128, 2*cw)
+        if xw is not None:
+            y = jnp.dot(xw, tre_ref[:, :],
+                        preferred_element_type=jnp.float32) * gn
+            for k in range(nchunks):
+                chunks_r.append(y[k * ct:(k + 1) * ct, :cw])
+                chunks_i.append(y[k * ct:(k + 1) * ct, cw:])
+        else:
+            for k in range(nchunks):
+                w = x[:, k * cw:k * cw + cw + _HALO]
+                y = jnp.dot(w, tre_ref[:, :],
+                            preferred_element_type=jnp.float32) * gn
+                chunks_r.append(y[:, :cw])
+                chunks_i.append(y[:, cw:])
+    elif xw is not None:
+        yr = jnp.dot(xw, tre_ref[:, :],
+                     preferred_element_type=jnp.float32) * gn
+        yi = jnp.dot(xw, tim_ref[:, :],
+                     preferred_element_type=jnp.float32) * gn
+        for k in range(nchunks):
+            chunks_r.append(yr[k * ct:(k + 1) * ct])
+            chunks_i.append(yi[k * ct:(k + 1) * ct])
+    else:
+        for k in range(nchunks):
+            w = x[:, k * cw:k * cw + cw + _HALO]         # (CT, cw + 128)
+            chunks_r.append(
+                jnp.dot(w, tre_ref[:, :],
+                        preferred_element_type=jnp.float32) * gn)
+            chunks_i.append(
+                jnp.dot(w, tim_ref[:, :],
+                        preferred_element_type=jnp.float32) * gn)
     # g == 1 (one frame per block, the 2400-baud default): every per-frame
     # mask is all-ones — elide the mask multiplies entirely (identity in
     # f32, so bit-exact) in the energy sums and the selection below
@@ -149,8 +204,20 @@ def _kernel(base_r_ref, base_i_ref, tre_ref, tim_ref, wtab_ref,
     taken = jnp.zeros((ct, g), jnp.float32)
     pr = jnp.zeros_like(yrs[0])
     pi = jnp.zeros_like(yis[0])
-    rotr = jnp.zeros_like(yrs[0])
-    roti = jnp.zeros_like(yis[0])
+    # the selected phase's carrier factor e^{j*omega*p} is constant per
+    # (channel, frame): at g == 1 accumulate it at (CT, 1) and fold it
+    # into the (CT, 1) phasor stage below instead of broadcasting the
+    # accumulation (and a dedicated full-width complex-multiply stage)
+    # across all gnsym lanes — ~12 fewer full-plane VPU ops per block.
+    # Decision-safe: everything upstream of the energy argmax is
+    # untouched, so timing picks are bit-identical; only the emitted
+    # picks' multiply association changes (closeness-gated vs the XLA
+    # twin, and both kernel launch modes share this code so the tm-vs-
+    # composed hardware gates stay exact-match).
+    fold = _FOLD_ROT and g == 1
+    rshape = (ct, g) if fold else yrs[0].shape
+    rotr = jnp.zeros(rshape, jnp.float32)
+    roti = jnp.zeros(rshape, jnp.float32)
     idxf = jnp.zeros((ct, g), jnp.float32)
     pang = np.mod(omega * np.arange(cycles, dtype=np.float64), 2 * np.pi)
     for p in range(cycles):
@@ -163,21 +230,28 @@ def _kernel(base_r_ref, base_i_ref, tre_ref, tim_ref, wtab_ref,
             sx = masks[0] * s[:, 0:1]                    # (CT, g*nsym)
             for f in range(1, g):
                 sx = sx + masks[f] * s[:, f:f + 1]
+        rr = s if fold else sx
+        rotr = rotr + rr * jnp.float32(np.cos(pang[p]))
+        roti = roti + rr * jnp.float32(np.sin(pang[p]))
         pr = pr + sx * yrs[p]
         pi = pi + sx * yis[p]
-        rotr = rotr + sx * jnp.float32(np.cos(pang[p]))
-        roti = roti + sx * jnp.float32(np.sin(pang[p]))
 
-    # per-pick carrier phasor: phase0 (x) base_j (x) W[lane] (x) rot
+    # per-pick carrier phasor: phase0 (x) base_j (x) rot (x) W[lane]
     p0r, p0i = phase0_ref[:, 0:1], phase0_ref[:, 1:2]    # (CT, 1)
     bjr, bji = base_r_ref[j], base_i_ref[j]              # SMEM scalars
     cr = p0r * bjr - p0i * bji                           # (CT, 1)
     ci = p0r * bji + p0i * bjr
     wr, wi = wtab_ref[0:1, :], wtab_ref[1:2, :]          # (1, gnsym)
-    fr = cr * wr - ci * wi                               # (CT, gnsym)
-    fi = cr * wi + ci * wr
-    gr = fr * rotr - fi * roti
-    gi = fr * roti + fi * rotr
+    if fold:
+        dr = cr * rotr - ci * roti                       # (CT, 1)
+        di = cr * roti + ci * rotr
+        gr = dr * wr - di * wi                           # (CT, gnsym)
+        gi = dr * wi + di * wr
+    else:
+        fr = cr * wr - ci * wi                           # (CT, gnsym)
+        fi = cr * wi + ci * wr
+        gr = fr * rotr - fi * roti
+        gi = fr * roti + fi * rotr
     outr = pr * gr - pi * gi
     outi = pr * gi + pi * gr
     if tm_delay:
@@ -253,17 +327,19 @@ def _tables(taps_key: tuple, block: int, omega: float, cycles: int,
             cw: int):
     """(tm_re, tm_im, wtab) static constants.
 
-    ``tm_re/tm_im[k]`` are output chunk k's (cw + 128, cw) slices of the
-    banded Toeplitz planes of the *modulated* taps
-    ``hm[k] = h[k] * e^{j*omega*(k-D)}`` (ops/frontend.py): rows are the
-    chunk's own 128-halo raw-input window, and the columns are the chunk's
-    cw output samples reordered PHASE-MAJOR (phase p's cw/cycles symbols
-    contiguous), so each chunk matmul is the mix-free filtered signal of
-    that window already grouped by decimation phase.  ``cw == block``
-    degenerates to the dense layout (one chunk, all structural zeros);
-    ``cw == 256`` is the measured v5e sweet spot (cw=128 halves the waste
-    again but loses more to slicing overhead).  ``wtab`` is the static
-    pick-phasor lane table W[l] = e^{j*omega*(l*cycles + 1)}, f64-designed.
+    ``tm_re/tm_im`` is THE (cw + 128, cw) slice of the banded Toeplitz
+    planes of the *modulated* taps ``hm[k] = h[k] * e^{j*omega*(k-D)}``
+    (ops/frontend.py) — one table shared by every output chunk (the band
+    is shift-invariant, so every chunk's slice of the full matrix is the
+    same matrix): rows are a chunk's 128-halo raw-input window, and the
+    columns are its cw output samples reordered PHASE-MAJOR (phase p's
+    cw/cycles symbols contiguous), so each chunk matmul is the mix-free
+    filtered signal of that window already grouped by decimation phase.
+    ``cw == block`` degenerates to the dense layout (one chunk, all
+    structural zeros); ``cw == 128`` is the zero-minimal operating point
+    (2.0x MAC waste, the dense floor for a 127-band).  ``wtab`` is the
+    static pick-phasor lane table W[l] = e^{j*omega*(l*cycles + 1)},
+    f64-designed.
     """
     from qpsk_tpu.ops.frontend import modulated_taps_np
     from qpsk_tpu.ops.rrc import toeplitz_taps
@@ -277,8 +353,15 @@ def _tables(taps_key: tuple, block: int, omega: float, cycles: int,
     def chunked(tp):
         full = toeplitz_taps(
             np.concatenate([np.zeros(pad, np.float32), tp]), block)
-        return np.stack([full[k * cw:k * cw + cw + _HALO][:, k * cw + cols]
-                         for k in range(block // cw)])
+        t = full[:cw + _HALO][:, cols]
+        if t.shape[0] < cw + _HALO:
+            # cw == block dense degenerate: the band matrix has block+127
+            # rows but the window carries block+128 samples — the newest
+            # window sample feeds no output of this chunk (zero row)
+            t = np.concatenate(
+                [t, np.zeros((cw + _HALO - t.shape[0], t.shape[1]),
+                             np.float32)])
+        return t
 
     lanes = np.arange(block // cycles, dtype=np.float64) * cycles + 1.0
     ang = np.mod(omega * lanes, 2.0 * np.pi)
@@ -293,18 +376,38 @@ def _bases(omega: float, nb: int, block: int) -> np.ndarray:
     return np.stack([np.cos(ang), np.sin(ang)], -1).astype(np.float32)
 
 
+def _table_operands(taps_key, block: int, omega: float, cycles: int,
+                    cw: int, fuse_planes: bool):
+    """(tre, tim, tre_spec, tim_spec) kernel operands for the tap tables.
+    With ``fuse_planes`` the re/im planes sit side by side on the lane
+    axis of ONE table (tre) and ``tim`` is a tiny unused placeholder."""
+    tre_np, tim_np, wtab_np = _tables(taps_key, block, omega, cycles, cw)
+    if fuse_planes:
+        tre = jnp.asarray(np.concatenate([tre_np, tim_np], axis=1))
+        tim = jnp.zeros((8, 128), jnp.float32)
+        tre_spec = pl.BlockSpec((cw + _HALO, 2 * cw), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)
+        tim_spec = pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        tre, tim = jnp.asarray(tre_np), jnp.asarray(tim_np)
+        tre_spec = tim_spec = pl.BlockSpec(
+            (cw + _HALO, cw), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    return tre, tim, jnp.asarray(wtab_np), tre_spec, tim_spec
+
+
 @functools.partial(
     jax.jit, static_argnames=("taps_key", "block", "ct", "gain", "pcm_scale",
-                              "cycles", "g", "omega", "cw", "interpret"))
+                              "cycles", "g", "omega", "cw", "stack",
+                              "fuse_planes", "interpret"))
 def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
                  gain: float, pcm_scale: float, cycles: int, g: int,
-                 omega: float, cw: int, interpret: bool = False):
+                 omega: float, cw: int, stack: bool = True,
+                 fuse_planes: bool = True, interpret: bool = False):
     c, n = pcm.shape
     nb = n // block
-    tre_np, tim_np, wtab_np = _tables(taps_key, block, omega, cycles, cw)
-    tre = jnp.asarray(tre_np)
-    tim = jnp.asarray(tim_np)
-    wtab = jnp.asarray(wtab_np)
+    tre, tim, wtab, tre_spec, tim_spec = _table_operands(
+        taps_key, block, omega, cycles, cw, fuse_planes)
     bases_np = _bases(omega, nb, block)
     bases_r = jnp.asarray(bases_np[:, 0])
     bases_i = jnp.asarray(bases_np[:, 1])
@@ -313,10 +416,9 @@ def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
     body_spec = pl.BlockSpec((ct, block), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, gain=gain, pcm_scale=pcm_scale,
-                             cycles=cycles, g=g, omega=omega, tm_delay=False)
+                             cycles=cycles, g=g, omega=omega, tm_delay=False,
+                             cw=cw, stack=stack, fuse_planes=fuse_planes)
     gnsym = block // cycles
-    tmat_spec = pl.BlockSpec((block // cw, cw + _HALO, cw),
-                             lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM)
     out_shape = (jax.ShapeDtypeStruct((c, n // cycles), jnp.float32),
                  jax.ShapeDtypeStruct((c, n // cycles), jnp.float32),
                  jax.ShapeDtypeStruct((c, nb * 128), jnp.float32))
@@ -326,8 +428,8 @@ def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            tmat_spec,
-            tmat_spec,
+            tre_spec,
+            tim_spec,
             pl.BlockSpec((2, gnsym), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ct, 2), lambda i, j: (i, 0),
@@ -354,11 +456,12 @@ def _frontend_2d(pcm, tail_raw, phase0, taps_key, block: int, ct: int,
 
 @functools.partial(
     jax.jit, static_argnames=("taps_key", "block", "ct", "gain", "pcm_scale",
-                              "cycles", "omega", "cw", "want_power",
-                              "interpret"))
+                              "cycles", "omega", "cw", "stack",
+                              "fuse_planes", "want_power", "interpret"))
 def _frontend_2d_tm(pcm, tail_raw, phase0, dd_r, dd_i, taps_key, block: int,
                     ct: int, gain: float, pcm_scale: float, cycles: int,
-                    omega: float, cw: int, want_power: bool = True,
+                    omega: float, cw: int, stack: bool = True,
+                    fuse_planes: bool = True, want_power: bool = True,
                     interpret: bool = False):
     """tm_delay launch (g == 1): emits the one-frame-DELAYED picks
     TIME-MAJOR as (T, C) planes — the exact input layout of the fused
@@ -368,10 +471,8 @@ def _frontend_2d_tm(pcm, tail_raw, phase0, dd_r, dd_i, taps_key, block: int,
     nb = n // block
     nsym = block // cycles
     t = n // cycles
-    tre_np, tim_np, wtab_np = _tables(taps_key, block, omega, cycles, cw)
-    tre = jnp.asarray(tre_np)
-    tim = jnp.asarray(tim_np)
-    wtab = jnp.asarray(wtab_np)
+    tre, tim, wtab, tre_spec, tim_spec = _table_operands(
+        taps_key, block, omega, cycles, cw, fuse_planes)
     bases_np = _bases(omega, nb, block)
     bases_r = jnp.asarray(bases_np[:, 0])
     bases_i = jnp.asarray(bases_np[:, 1])
@@ -385,9 +486,8 @@ def _frontend_2d_tm(pcm, tail_raw, phase0, dd_r, dd_i, taps_key, block: int,
                              memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, gain=gain, pcm_scale=pcm_scale,
                              cycles=cycles, g=1, omega=omega, tm_delay=True,
+                             cw=cw, stack=stack, fuse_planes=fuse_planes,
                              emit_power=emit_power, interpret_mode=interpret)
-    tmat_spec = pl.BlockSpec((block // cw, cw + _HALO, cw),
-                             lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM)
     dd_spec = pl.BlockSpec((ct, nsym), lambda i, j: (i, 0),
                            memory_space=pltpu.VMEM)
     out_shape = (jax.ShapeDtypeStruct((t, c), jnp.float32),
@@ -420,8 +520,8 @@ def _frontend_2d_tm(pcm, tail_raw, phase0, dd_r, dd_i, taps_key, block: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            tmat_spec,
-            tmat_spec,
+            tre_spec,
+            tim_spec,
             pl.BlockSpec((2, nsym), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ct, 2), lambda i, j: (i, 0),
@@ -443,6 +543,32 @@ def _frontend_2d_tm(pcm, tail_raw, phase0, dd_r, dd_i, taps_key, block: int,
         # (F, C) per-frame mean |pick|^2 of the emitted (delayed) picks
         powers = outs[5].reshape(c, nb, 128)[..., 0].T
     return zr, zi, idx.reshape(c, nb), ndd_r, ndd_i, powers
+
+
+# FIR contraction knobs (overridable for A/B sweeps; see _kernel and
+# tools/sweep_fe_cw.py).  Round-5 measured NEGATIVE result (don't retry):
+# cw=128 is the zero-minimal dense contraction (2.0x MAC waste vs 3.0x at
+# cw=256 — the floor for a 127-band, whose two 128-row K tiles any output
+# must span), and EVERY cw=128 issue structure loses ~15% composed RX at
+# 8192x8 on v5e — separate shared-table dots 23.9-24.5 GS/s, sublane-
+# stacked single dot 24.1-24.4, re|im lane-fused 24.1-24.5, vs 28.4-28.9
+# at cw=256 (3 interleaved same-process rounds).  The MAC count is NOT
+# the lever: the phase-major reassembly slices halve to 32 lanes at
+# cw=128 and the extra sub-tile lane shuffles swamp the ~87 us/pass the
+# MXU saving is worth.  Plane fusion at cw=256 ties (28.6-28.7) — dot
+# count isn't the lever either.  cw=256 is a genuine local optimum of
+# this design family (cw=512 dense lost in round 3 from the 5x MAC
+# waste; mc=128-aligned phase slices require exactly that dense shape).
+_CW_PREF = 256
+_STACK = False
+_FUSE = False
+
+
+def _pick_cw(block: int, cycles: int) -> int:
+    for cand in (_CW_PREF, 256, 128):
+        if cand and block % cand == 0 and cand % cycles == 0:
+            return cand
+    return block
 
 
 def _group(cfg, fsz: int) -> int:
@@ -526,23 +652,13 @@ def rx_frontend_fused(cfg, pcm: jnp.ndarray, nco_phase: CF32,
     assert nframes % g == 0, (nframes, g)
     taps_key = tuple(np.asarray(taps_for(cfg)).tolist())
     block = g * fsz
-    # chunk width: 256 output samples per matmul is the measured sweet
-    # spot on v5e — the (cw+128)/cw structural-zero waste drops 5x -> 1.5x
-    # vs the dense layout while the matmuls stay big enough to amortize
-    # per-dot fixed costs (cw=128 pays more in slicing than it saves in
-    # MACs; see _kernel).  Fall back to dense when the geometry doesn't
-    # tile.
-    if block % 256 == 0 and 256 % cfg.cycles == 0:
-        cw = 256
-    elif block % 128 == 0 and 128 % cfg.cycles == 0:
-        cw = 128
-    else:
-        cw = block
+    cw = _pick_cw(block, cfg.cycles)
     prr, pii, idx = _frontend_2d(flat, tail128, phase0, taps_key,
                                  block=block, ct=ct, gain=float(cfg.gain),
                                  pcm_scale=float(cfg.pcm_scale),
                                  cycles=cfg.cycles, g=g, omega=omega,
-                                 cw=cw, interpret=interpret)
+                                 cw=cw, stack=_STACK, fuse_planes=_FUSE,
+                                 interpret=interpret)
     nsym = fsz // cfg.cycles
     picks = CF32(prr.reshape(c, nframes, nsym)[:c_in],
                  pii.reshape(c, nframes, nsym)[:c_in])
@@ -617,17 +733,13 @@ def rx_frontend_fused_tm(cfg, pcm: jnp.ndarray, nco_phase: CF32,
         ct *= 2
     taps_key = tuple(np.asarray(taps_for(cfg)).tolist())
     block = fsz
-    if block % 256 == 0 and 256 % cfg.cycles == 0:
-        cw = 256
-    elif block % 128 == 0 and 128 % cfg.cycles == 0:
-        cw = 128
-    else:
-        cw = block
+    cw = _pick_cw(block, cfg.cycles)
     zr, zi, idx, ndd_r, ndd_i, powers = _frontend_2d_tm(
         flat, tail128, phase0, decim_delay.re, decim_delay.im, taps_key,
         block=block, ct=ct, gain=float(cfg.gain),
         pcm_scale=float(cfg.pcm_scale), cycles=cfg.cycles, omega=omega,
-        cw=cw, want_power=want_power, interpret=interpret)
+        cw=cw, stack=_STACK, fuse_planes=_FUSE, want_power=want_power,
+        interpret=interpret)
 
     flat_in = flat.astype(jnp.float32) / jnp.float32(cfg.pcm_scale)
     new_phase = fe.advance_phase(nco_phase, omega, n)

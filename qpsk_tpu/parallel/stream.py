@@ -66,21 +66,64 @@ def _halo_from_left(tail: CF32, axis: str) -> CF32:
 
 def _mixdown_fir_local(cfg: ModemConfig, pcm_local: jnp.ndarray,
                        phase0: jnp.ndarray, axis: str) -> CF32:
-    """Shared front-end body: PCM → mixed-down → halo → matched filter."""
+    """Shared front-end body: PCM → mixed-down → halo → matched filter.
+
+    The halo only feeds the FIRST output tile's tail matmul, but calling
+    ``fir_block`` with the exchanged halo concats it into the batched
+    ``prev`` operand — a FALSE dependency that stalls every tile's matmul
+    on the ``ppermute``.  Here the split-matmul fast path is inlined with
+    tile 0's tail contribution split out, so the bulk of the FIR (and the
+    interior tails, which are local slices) has no dataflow edge from the
+    collective and XLA can overlap it with the exchange — the fixed
+    per-launch collective cost the round-4 sp decomposition identified.
+    Bit-identical to ``fir_block``: the same two partial sums per output
+    in the same association ((tail @ T1) + (block @ T2), then * gain;
+    splitting the tail matmul's tile batch does not reorder any per-tile
+    K accumulation).
+    """
     L = pcm_local.shape[-1]
+    ntm1 = cfg.ntaps - 1
     xr = pcm_local.astype(jnp.float32) / jnp.float32(cfg.pcm_scale)
     # fast NCO ramp from this block's closed-form start phase
     ph0 = CF32(phase0[..., 0], phase0[..., 1])
     x, _ = nco.mix(CF32(xr, jnp.zeros_like(xr)), ph0,
                    -cfg.omega_center, "fast")
 
-    tail = CF32(x.re[..., L - (cfg.ntaps - 1):], x.im[..., L - (cfg.ntaps - 1):])
-    halo = _halo_from_left(tail, axis)
-
+    tail = CF32(x.re[..., L - ntm1:], x.im[..., L - ntm1:])
     block = _pick_block(L)
     tmat = jnp.asarray(_tmat_for(cfg, block))
-    y, _ = rrc_ops.fir_block(x, halo, tmat, cfg.gain, block, precision=_prec(cfg))
-    return y
+    prec = _prec(cfg)
+    if prec != jax.lax.Precision.DEFAULT or block < ntm1:
+        # parity-precision path keeps the windowed single-accumulation
+        # fir_block (the halo lands in the window concat; exactness over
+        # overlap)
+        halo = _halo_from_left(tail, axis)
+        y, _ = rrc_ops.fir_block(x, halo, tmat, cfg.gain, block,
+                                 precision=prec)
+        return y
+    nb = L // block
+    g = jnp.float32(cfg.gain)
+
+    def bulk(plane):
+        blocks = plane.reshape(nb, block)
+        b = jnp.matmul(blocks, tmat[ntm1:],
+                       preferred_element_type=jnp.float32, precision=prec)
+        a_int = jnp.matmul(blocks[:-1, block - ntm1:], tmat[:ntm1],
+                           preferred_element_type=jnp.float32,
+                           precision=prec)
+        return b, a_int
+
+    br, air = bulk(x.re)
+    bi, aii = bulk(x.im)
+    halo = _halo_from_left(tail, axis)         # issued after the bulk FIR
+
+    def finish(b, a_int, h):
+        a0 = jnp.matmul(h[None, :], tmat[:ntm1],
+                        preferred_element_type=jnp.float32, precision=prec)
+        a = jnp.concatenate([a0, a_int], axis=0)
+        return ((a + b) * g).reshape(L)
+
+    return CF32(finish(br, air, halo.re), finish(bi, aii, halo.im))
 
 
 def rx_frontend_timeparallel(cfg: ModemConfig, pcm: jnp.ndarray, mesh: Mesh,

@@ -178,6 +178,51 @@ def composed_rx_report(cfg, channels: int, nframes: int,
     }
 
 
+# v5e core clock implied by the datasheet matmul peak:
+# 197e12 bf16 FLOP/s / (4 MXUs x 128x128 MACs x 2 FLOP/MAC) = 1.5 GHz.
+# Used only to express the Costas step floor in cycles — the judgment
+# (serial-issue-bound) comes from step-time flatness vs channel width,
+# not from the absolute cycle count.
+V5E_CLOCK_HZ = 197e12 / (4 * 128 * 128 * 2)
+
+
+def costas_report(channels: int, nsym: int, measured_pass_s: float,
+                  step_ns_by_channels: dict | None = None) -> dict:
+    """Measured-vs-floor record for the fused Costas kernel — the bound
+    statement behind the composed path's "serial-step" judgment
+    (``composed_rx_report``), in the same regenerable form as
+    ``ldpc_report``.
+
+    The kernel's serial axis is the symbol recurrence (costas_loop.c:56-74:
+    each symbol's derotation reads the phase updated by the previous one);
+    channels ride the 8 sublanes x lanes in parallel, so one pass executes
+    ``nsym`` dependent steps whatever the channel count.  The floor is the
+    per-step ISSUE cost of that dependency chain (derotate -> detector ->
+    loop filter -> wrap/clamp, ~25 dependent VPU ops plus Mosaic loop
+    overhead), not bandwidth or FLOPs: the evidence is
+    ``step_ns_by_channels`` — measured ns/step across channel widths —
+    being ~flat (wider batches decode more symbols per step at the SAME
+    step time, which is why the 8192-channel operating point wins).
+    Deeper time-folding has no ceiling left when ns/step is already at
+    the dependency-chain latency; the recoverable knob is width, and the
+    cycles_per_step figure is what a future reformulation (e.g. a
+    block-parallel recurrence) would have to beat."""
+    ns = measured_pass_s / nsym * 1e9
+    rec = {
+        "serial_steps_per_pass": int(nsym),
+        "ns_per_step": round(ns, 1),
+        "cycles_per_step": round(ns * 1e-9 * V5E_CLOCK_HZ, 0),
+        "symbols_per_step": int(channels),
+        "bound": "serial-step-issue",
+    }
+    if step_ns_by_channels:
+        rec["step_ns_by_channels"] = {
+            str(c): round(v, 1) for c, v in step_ns_by_channels.items()}
+        vals = list(step_ns_by_channels.values())
+        rec["step_time_flatness"] = round(min(vals) / max(vals), 3)
+    return rec
+
+
 def ldpc_report(code, batch: int, measured_s: float) -> dict:
     """Measured-vs-roofline record for the fused LDPC min-sum kernel —
     the bound statement behind the kernel's ~40% MXU utilization.
