@@ -312,9 +312,49 @@ def fdm_throughput(nslots: int | None = None, frames: int | None = None,
 
     dt = _time_chained(step, state0, wide, iters)
     sps = nwide * inner * iters / dt
-    return {"metric": "fdm_wideband_throughput", "value": round(sps, 1),
-            "unit": "wide_samples/s", "platform": platform,
-            "nslots": nslots, "nchan": nchan}
+
+    # decomposition (the bound record every other headline row carries):
+    # filterbank-only and modem-only twins at the same shapes, same
+    # process — names whether the wideband rate is bound by the
+    # polyphase-DFT analysis bank or by the under-occupied modem batch
+    # (nchan = nslots/2 - 1 channels on the 128-lane granule)
+    @jax.jit
+    def step_fb(st, w):
+        def body(_, carry):
+            fst, acc = carry
+            chans, fst = fdm_demux_stream(fcfg, w, fst)
+            return fst, acc + jnp.sum(chans[:, -1])
+        return jax.lax.fori_loop(0, inner, body,
+                                 (st, jnp.zeros((), jnp.float32)))
+
+    chans0, _ = fdm_demux_stream(fcfg, wide, fdm_init(fcfg))
+    chans0 = chans0.reshape(nchan, frames, cfg.frame_size)
+
+    @jax.jit
+    def step_md(st, ch):
+        def body(_, carry):
+            rst, acc = carry
+            rst, out = rx_stream(cfg, rst, ch)
+            return rst, acc + jnp.sum(out.bits)
+        return jax.lax.fori_loop(0, inner, body,
+                                 (st, jnp.zeros((), jnp.int32)))
+
+    dt_fb = _time_chained(step_fb, fdm_init(fcfg), wide, iters)
+    dt_md = _time_chained(step_md, rx_init(cfg, batch_shape=(nchan,)),
+                          chans0, iters)
+    fb_frac = dt_fb / (dt_fb + dt_md)
+    rec = {"metric": "fdm_wideband_throughput", "value": round(sps, 1),
+           "unit": "wide_samples/s", "platform": platform,
+           "nslots": nslots, "nchan": nchan}
+    rec["fdm"] = {
+        "fb_only_gsps": round(nwide * inner * iters / dt_fb / 1e9, 4),
+        "modem_only_gsps": round(nwide * inner * iters / dt_md / 1e9, 4),
+        "composed_gsps": round(sps / 1e9, 4),
+        "fb_fraction": round(fb_frac, 3),
+        "lane_occupancy": round(nchan / (128 * -(-nchan // 128)), 3),
+        "bound": "filterbank" if fb_frac > 0.5 else "modem-batch",
+    }
+    return rec
 
 
 def costas_throughput(impl: str = "pallas", channels: int | None = None,
@@ -733,6 +773,98 @@ def scaling_efficiency(device_counts=None, channels_per_device: int = 8,
     for r in records:
         r["efficiency"] = round(t1[r["mode"]] / r["time_s"], 3)
         r["platform"] = platform
+    return records
+
+
+def sp_bound_record(device_counts=(1, 2, 4), frames: int = 64,
+                    iters: int = 30) -> list[dict]:
+    """Measure the FIXED per-launch cost of the sp halo exchange and
+    compute the efficiency bound it implies — the decomposition-backed
+    record behind the sp weak-scaling rows (VERDICT r4 #3).
+
+    Two microbenches per device count, identical except for the
+    collective: a shard_map launch whose body does one ppermute of an
+    (ntaps-1)-sample tail plus a trivial reduce, and the same body with
+    the ppermute replaced by a local copy.  Their difference isolates the
+    per-launch collective/sync constant ``t_fixed(n)`` (on the CPU
+    backend this is thread wakeup + barrier, not bandwidth — the halo is
+    ~1 KB).  The record then computes:
+
+    * ``eff_bound`` — t_block / (t_block + t_fixed) with t_block the
+      measured per-device block time of the real sp body at the
+      operating size: the ceiling the CPU mesh allows, independent of
+      this host's run-to-run noise;
+    * ``real_mesh_eff`` — the same bound priced for a v5e ICI mesh
+      (~1 us per neighbor exchange + 1 KB at ~45 GB/s) against the
+      single-stream TPU block time: the halo term vanishes at production
+      block sizes, which is why the ≥0.8 BASELINE target is an ICI
+      statement, not a CPU-thread-barrier statement.
+    """
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    from qpsk_tpu import ModemConfig
+    from qpsk_tpu.parallel.stream import rx_stream_timeparallel
+
+    cfg = ModemConfig()
+    devs = jax.devices()
+    platform = devs[0].platform
+    ntm1 = cfg.ntaps - 1
+    records = []
+    for n in device_counts:
+        if n > len(devs):
+            continue
+        mesh = Mesh(np.asarray(devs[:n]), ("sp",))
+        tails = jax.random.normal(jax.random.key(0), (n, ntm1), jnp.float32)
+
+        def body_coll(t):
+            perm = [(i, i + 1) for i in range(n - 1)]
+            h = jax.lax.ppermute(t, "sp", perm)
+            return jnp.sum(h, keepdims=True)
+
+        def body_local(t):
+            return jnp.sum(t * 1.0000001, keepdims=True)
+
+        def timed(body):
+            fn = jax.jit(shard_map(body, mesh=mesh, in_specs=(P("sp"),),
+                                   out_specs=P("sp")))
+
+            def step(acc, t):
+                out = fn(t + acc)
+                return out, jnp.sum(out)
+            return _time_chained(step, jnp.zeros((n, 1), jnp.float32),
+                                 tails, iters) / iters
+
+        t_coll = timed(body_coll)
+        t_local = timed(body_local)
+        t_fixed = max(t_coll - t_local, 0.0)
+
+        # the real sp body at the operating size, per launch
+        nsamp = n * frames * cfg.frame_size
+
+        @jax.jit
+        def step(acc, x):
+            _, bits, _ = rx_stream_timeparallel(cfg, x, mesh)
+            return acc + jnp.sum(bits), acc
+
+        pcm = (jax.random.normal(jax.random.key(1), (nsamp,))
+               * 8000.0).astype(jnp.int16)
+        t_block = _time_chained(step, jnp.zeros((), jnp.int32), pcm,
+                                max(iters // 3, 3)) / max(iters // 3, 3)
+        # v5e ICI: ~1 us neighbor latency + halo bytes at ~45 GB/s,
+        # against the single-stream TPU block time (25 MS/s padded path)
+        ici_fixed = 1e-6 + (8.0 * ntm1) / 45e9
+        tpu_block = frames * cfg.frame_size / 25e6
+        records.append({
+            "mode": "sp_bound", "devices": n,
+            "t_launch_collective_s": round(t_coll, 6),
+            "t_launch_local_s": round(t_local, 6),
+            "t_fixed_s": round(t_fixed, 6),
+            "t_block_s": round(t_block, 6),
+            "eff_bound": round(t_block / (t_block + t_fixed), 3),
+            "real_mesh_eff": round(tpu_block / (tpu_block + ici_fixed), 5),
+            "platform": platform, "frames_per_dev": frames,
+        })
     return records
 
 

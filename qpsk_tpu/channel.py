@@ -51,6 +51,27 @@ def awgn_baseband(key: jax.Array, x: CF32, snr_db, signal_power: float = 1.0) ->
                 x.im + sigma * jax.random.normal(ki, x.im.shape, jnp.float32))
 
 
+def tone_pcm(pcm: jnp.ndarray, freq_hz: float, level_db: float,
+             signal_power: float, fs: float = 9600.0,
+             pcm_scale: float = 16384.0, phase: float = 0.0) -> jnp.ndarray:
+    """Add a CW interferer tone to int16 PCM.
+
+    ``level_db`` is the tone's power relative to the signal's analog power
+    ``signal_power`` (0 dB = equal power).  A strong in-band CW line is
+    the canonical acquisition-hostile impairment: its M-power harmonics
+    park deterministic peaks on the spectral estimator that no averaging
+    removes (ops/acquire.py's spur problem made arbitrarily bad), which
+    is the scenario the acquisition sweep fallback exists for.
+    """
+    n = pcm.shape[-1]
+    amp = float(np.sqrt(2.0 * signal_power * 10.0 ** (level_db / 10.0)))
+    t = jnp.arange(n, dtype=jnp.float32)
+    tone = amp * jnp.cos(
+        jnp.float32(2.0 * np.pi * freq_hz / fs) * t + jnp.float32(phase))
+    y = pcm.astype(jnp.float32) + tone * jnp.float32(pcm_scale)
+    return jnp.clip(jnp.round(y), -32768, 32767).astype(jnp.int16)
+
+
 def multipath_pcm(pcm: jnp.ndarray, paths,
                   pcm_scale: float = 16384.0) -> jnp.ndarray:
     """Static multipath (e.g. two-ray HF/VHF) on int16 passband PCM:

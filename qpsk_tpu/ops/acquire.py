@@ -156,6 +156,30 @@ def acquire_freq_candidates(x: CF32, fs: float, nfft: int = 512,
     return jnp.stack(cands, axis=-1)
 
 
+def sweep_candidates_hz(max_hz: float = 300.0,
+                        step_hz: float = 75.0) -> "np.ndarray":
+    """Static acquisition-seed sweep grid ``[0, +s, -s, +2s, -2s, ...]`` —
+    the fallback when spectral acquisition itself is degraded (a strong
+    interferer parked on the M-power line, or SNR below the acquisition
+    floor): no PSD peak can point at the carrier, but a seed within the
+    loop's cold pull-in of the true offset still decodes, and the stack's
+    CRC-scored sync hunt tells right seeds from wrong ones.  Stepping the
+    seed across the band plan's offset range therefore recovers any
+    carrier the spectrum can't find, at the cost of one hunt window per
+    step.  ``step_hz`` defaults to 75: the generic family's measured cold
+    pull-in is ~±50 Hz (docs/lock_range_{8psk,16qam}.jsonl), so the worst
+    residual after the best sweep seed is 37.5 Hz.  Consumers walk the
+    grid AFTER the FFT candidates reject (StreamDemodulator's candidate
+    rotation; tools/run_lock_range.py measures the combined behavior).
+    """
+    import numpy as np
+    ks = int(max_hz / step_hz)
+    grid = [0.0]
+    for k in range(1, ks + 1):
+        grid += [k * step_hz, -k * step_hz]
+    return np.asarray(grid, np.float32)
+
+
 def hz_to_costas_freq(f_hz: jnp.ndarray, rs: float) -> jnp.ndarray:
     """Hz -> Costas loop frequency units (rad/symbol), inverting the
     readback ``f = freq * RS / TAU`` (qpsk.c:217)."""

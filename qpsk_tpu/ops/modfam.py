@@ -339,53 +339,69 @@ def dd_err_ops(name: str, m: int, outr, outi, get, stage,
                    jnp.where(neg, 1, 0) if want_label else None)
     if name == "8psk":
         # octant decision: boundaries at the axes and diagonals, all
-        # exact comparisons; position k (sector [k*45deg, (k+1)*45deg))
-        # carries Gray label k ^ (k >> 1)
+        # exact comparisons.  The sector position is the reflected-Gray
+        # walk of the three boundary bits, so the Gray LABEL has the
+        # closed form (s_im << 2) | (s_re << 1) | diag — and the ring
+        # constants select through a 3-deep where tree on the same bits
+        # (round 5: the old 7-octant mask sweep put ~35 dependent VPU ops
+        # on the serial DD chain; this is ~16 for the same decisions and
+        # the SAME selected f32 constants, so trajectories are
+        # bit-identical).
         s_im = outi < 0.0
         s_re = outr < 0.0
         diag = jnp.abs(outi) > jnp.abs(outr)
-        octants = [  # (im<0, re<0, |im|>|re|) -> position
-            (False, False, False, 0), (False, False, True, 1),
-            (False, True, True, 2), (False, True, False, 3),
-            (True, True, False, 4), (True, True, True, 5),
-            (True, False, True, 6), (True, False, False, 7),
-        ]
-        lab0 = octants[0][3] ^ (octants[0][3] >> 1)
-        cr = const_like(lab0)
-        ci = const_like(m + lab0)
-        lab_arr = jnp.full_like(outr, lab0, dtype=jnp.int32) if want_label \
-            else None
-        for a, b, c, k in octants[1:]:
-            mask = ((s_im if a else ~s_im) & (s_re if b else ~s_re)
-                    & (diag if c else ~diag))
-            lab = k ^ (k >> 1)
-            cr = jnp.where(mask, const_like(lab), cr)
-            ci = jnp.where(mask, const_like(m + lab), ci)
-            if want_label:
-                lab_arr = jnp.where(mask, lab, lab_arr)
+
+        def tree(base):
+            def pick(a, b):
+                return jnp.where(diag, const_like(base + a),
+                                 const_like(base + b))
+            return jnp.where(s_im,
+                             jnp.where(s_re, pick(7, 6), pick(5, 4)),
+                             jnp.where(s_re, pick(3, 2), pick(1, 0)))
+
+        cr = tree(0)
+        ci = tree(m)
+        lab_arr = None
+        if want_label:
+            lab_arr = ((s_im.astype(jnp.int32) << 2)
+                       | (s_re.astype(jnp.int32) << 1)
+                       | diag.astype(jnp.int32))
         u, v = stage(outi * cr, outr * ci)
         # 1/|c|^2 uniform on the ring
         return ret((u - v) * const_like(2 * m), lab_arr)
     if name == "16qam":
         # per-axis Gray decision: level index by sign + threshold, labels
-        # (gray_I << 2) | gray_Q; |c|^2 selected per decided label
+        # (gray_I << 2) | gray_Q.  The constellation is a PRODUCT, so the
+        # error constants select per axis: cre[(g<<2)|q] is q-invariant
+        # (the I level) and cim[(i<<2)|g] i-invariant, and 1/|c|^2 depends
+        # only on the two far/near flags — 9 selects total instead of the
+        # old 16-mask per-label sweep (~64 dependent VPU ops on the
+        # serial DD chain; round-5 16QAM rate work).  Same comparisons,
+        # same selected f32 table values: trajectories are bit-identical.
         thr = const_like(3 * m)
-        axes = []
-        for val in (outr, outi):
-            neg = val < 0.0
-            far = jnp.abs(val) > thr
-            # level -> gray axis label (-3 -> 0, -1 -> 1, +1 -> 3, +3 -> 2)
-            axes.append(jnp.where(
-                neg, jnp.where(far, 0, 1), jnp.where(far, 2, 3)))
-        lab = (axes[0] << 2) | axes[1]
-        cr = const_like(0) * 0.0
-        ci = const_like(0) * 0.0
-        ic2 = const_like(0) * 0.0
-        for k in range(m):
-            mask = lab == k
-            cr = jnp.where(mask, const_like(k), cr)
-            ci = jnp.where(mask, const_like(m + k), ci)
-            ic2 = jnp.where(mask, const_like(2 * m + k), ic2)
+        neg_i, far_i = outr < 0.0, jnp.abs(outr) > thr
+        neg_q, far_q = outi < 0.0, jnp.abs(outi) > thr
+        # level -> gray axis label (-3 -> 0, -1 -> 1, +1 -> 3, +3 -> 2)
+        cr = jnp.where(neg_i,
+                       jnp.where(far_i, const_like(0 << 2),
+                                 const_like(1 << 2)),
+                       jnp.where(far_i, const_like(2 << 2),
+                                 const_like(3 << 2)))
+        ci = jnp.where(neg_q,
+                       jnp.where(far_q, const_like(m + 0), const_like(m + 1)),
+                       jnp.where(far_q, const_like(m + 2), const_like(m + 3)))
+        ic2 = jnp.where(far_i,
+                        jnp.where(far_q, const_like(2 * m + 0),
+                                  const_like(2 * m + 1)),
+                        jnp.where(far_q, const_like(2 * m + 4),
+                                  const_like(2 * m + 5)))
+        lab = None
+        if want_label:
+            gi = jnp.where(neg_i, jnp.where(far_i, 0, 1),
+                           jnp.where(far_i, 2, 3))
+            gq = jnp.where(neg_q, jnp.where(far_q, 0, 1),
+                           jnp.where(far_q, 2, 3))
+            lab = (gi << 2) | gq
         u, v = stage(outi * cr, outr * ci)
         return ret((u - v) * ic2, lab)
     raise ValueError(f"no decision program for modulation {name!r}")

@@ -290,6 +290,16 @@ class StreamDemodulator:
         # hunt's failure to sync rotates to the next candidate.
         self._acquire_jit = jax.jit(functools.partial(rx_acquire_hz, cfg,
                                                       candidates=2))
+        # sweep fallback (round 5): when BOTH FFT candidates reject, the
+        # spectrum itself is compromised (a deterministic interferer on
+        # the M-power line, or SNR below the acquisition floor) and
+        # re-peaking it any number of times re-finds the same wrong
+        # lines — so candidate rotation continues into a STATIC seed grid
+        # spanning the band plan's offset range at sub-pull-in steps
+        # (ops/acquire.sweep_candidates_hz).  The CRC hunt scores every
+        # seed the same way it scores the FFT candidates.
+        from qpsk_tpu.ops.acquire import sweep_candidates_hz
+        self._sweep_hz = sweep_candidates_hz()
         self._acq_idx = 0    # which candidate the current epoch uses
         self._acq_bits = 0   # bits the hunt REJECTED on this candidate
         # buffer prefix demodulated under the PREVIOUS candidate after a
@@ -373,7 +383,9 @@ class StreamDemodulator:
                 try:
                     cands = np.asarray(
                         self._acquire_jit(jnp.asarray(chunk))).ravel()
-                    est = float(cands[self._acq_idx % cands.size])
+                    i = self._acq_idx % (cands.size + self._sweep_hz.size)
+                    est = (float(cands[i]) if i < cands.size
+                           else float(self._sweep_hz[i - cands.size]))
                     acq = hz_to_costas_freq(est, self.cfg.rs)
                 except ValueError:
                     pass  # chunk too short: cold-start, acquire later

@@ -83,3 +83,42 @@ def test_fdm_throughput_record():
     assert r["metric"] == "fdm_wideband_throughput"
     assert r["value"] > 0 and r["nchan"] == 3
     assert r["unit"] == "wide_samples/s"
+    # decomposition record (VERDICT r4 #6): the bound is named, with the
+    # same-process filterbank-only / modem-only split behind it
+    fdm = r["fdm"]
+    assert fdm["bound"] in ("filterbank", "modem-batch")
+    assert fdm["fb_only_gsps"] > 0 and fdm["modem_only_gsps"] > 0
+    assert 0.0 < fdm["fb_fraction"] < 1.0
+
+
+def test_coded_rx_throughput_record():
+    from qpsk_tpu.benchmarks import coded_rx_throughput
+    for kind in ("conv", "ldpc"):
+        r = coded_rx_throughput(kind=kind, channels=8, frames=4,
+                                iters=1, inner=1)
+        assert r["metric"] == f"coded_rx_throughput_{kind}"
+        assert r["value"] > 0 and r["unit"] == "samples/s"
+        assert r["packets_per_pass"] > 0
+        assert r["bound"] in ("fec-decoder", "demod")
+        assert r["fec_slowdown_x"] >= 1.0
+
+
+def test_sp_bound_record():
+    from qpsk_tpu.benchmarks import sp_bound_record
+    recs = sp_bound_record(device_counts=(1, 2), frames=4, iters=3)
+    assert len(recs) == 2
+    for r in recs:
+        assert r["mode"] == "sp_bound"
+        assert 0.0 < r["eff_bound"] <= 1.0
+        assert r["real_mesh_eff"] > 0.98
+        assert r["t_block_s"] > 0
+
+
+def test_costas_report_fields():
+    from qpsk_tpu.utils.roofline import costas_report
+    rec = costas_report(2048, 1024, measured_pass_s=1.6e-4,
+                        step_ns_by_channels={1024: 150.0, 2048: 156.0})
+    assert rec["serial_steps_per_pass"] == 1024
+    assert rec["ns_per_step"] > 0 and rec["cycles_per_step"] > 0
+    assert rec["bound"] == "serial-step-issue"
+    assert 0.9 < rec["step_time_flatness"] <= 1.0

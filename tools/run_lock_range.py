@@ -52,7 +52,9 @@ def main() -> None:
     pcfg = PacketConfig(payload_bytes=30)
     snr_db = MOD_SNR[modulation]
 
-    def trial(offset: float, acquire: bool, seed: int) -> float:
+    from qpsk_tpu.ops.acquire import sweep_candidates_hz
+
+    def trial(offset: float, mode: str, seed: int) -> float:
         rng = np.random.default_rng(seed)
         payload = jnp.asarray(rng.integers(0, 2, (30, 240), dtype=np.int32))
         chan = assemble_packet(pcfg, payload).ravel()
@@ -68,15 +70,23 @@ def main() -> None:
                          signal_power=sp)
         # candidate fallback (ops/acquire.acquire_freq_candidates): the
         # M-power spur can out-peak the carrier line; the CRC-scored sync
-        # disambiguates — try candidate 0, then candidate 1
-        if acquire:
+        # disambiguates — try candidate 0, then candidate 1.  "sweep"
+        # additionally walks the static seed grid after both FFT
+        # candidates reject (the StreamDemodulator rotation behavior):
+        # at |offset| >= 250 Hz the 8PSK spectrum parks BOTH candidates
+        # on spurs on a growing fraction of draws (round-5 scan: 2/4 at
+        # 325-375, 4/4 at 400) — no clean M-power line exists, and only
+        # a seed near the truth acquires.
+        if mode == "cold":
+            cands = np.asarray([0.0])
+        else:
             cands = np.asarray(rx_acquire_hz(cfg, noisy,
                                              candidates=2)).ravel()
-        else:
-            cands = np.asarray([0.0])
+            if mode == "sweep":
+                cands = np.concatenate([cands, sweep_candidates_hz()])
         for est in cands:
             acq = hz_to_costas_freq(jnp.float32(est), cfg.rs) \
-                if acquire else 0.0
+                if mode != "cold" else 0.0
             _, out = rx_stream(cfg, rx_init(cfg, acq_freq=acq), noisy)
             b = out.bits.ravel()
             skip = 8 * pcfg.frame_bits
@@ -100,8 +110,9 @@ def main() -> None:
                    "seeds": len(SEEDS)}
             if modulation != "qpsk":
                 rec["modulation"] = modulation
-            for name, acq in (("cold", False), ("fft_acq", True)):
-                fr = [trial(sign * off, acq, s) for s in SEEDS]
+            for name, mode in (("cold", "cold"), ("fft_acq", "fft"),
+                               ("sweep", "sweep")):
+                fr = [trial(sign * off, mode, s) for s in SEEDS]
                 rec[f"crc_frac_{name}"] = round(float(np.mean(fr)), 4)
             recs.append(rec)
             print(json.dumps(rec), flush=True)
