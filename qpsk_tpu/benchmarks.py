@@ -284,11 +284,15 @@ def fdm_throughput(nslots: int | None = None, frames: int | None = None,
 
     cfg = ModemConfig()
     platform = jax.devices()[0].platform
-    # 256 slots -> 127 subchannels fill the modem's 128-lane granule
-    # (v5e: 5.3 GS/s wideband vs 1.6 at 64 slots, where 97 padded lanes
-    # ride dead)
-    nslots = nslots or (256 if platform == "tpu" else 8)
-    frames = frames or (16 if platform == "tpu" else 4)
+    # operating point (round-5 sweep, tools/sweep_fdm.py): wideband rate
+    # grows with the slot count because the bound is the MODEM BATCH's
+    # lane amortization, not the filterbank — 256x16 reads 4.7-5.2 GS/s,
+    # 512x16 8.1-8.8, 1024x8 11.0, 2048x8 13.4 (1023 subchannels), where
+    # fb_fraction reaches ~0.5 and the filterbank finally co-limits.
+    # 2048x4 regresses (10.9-11.1): fewer frames starve the composed
+    # pipeline the same way the modem's own small working sets do.
+    nslots = nslots or (2048 if platform == "tpu" else 8)
+    frames = frames or (8 if platform == "tpu" else 4)
     iters = iters or (40 if platform == "tpu" else 2)
     inner = inner or (8 if platform == "tpu" else 2)
     fcfg = FdmConfig(nslots=nslots)

@@ -801,6 +801,11 @@ def main(argv=None) -> int:
                                B.costas_throughput("scan")],
             "fec": lambda: [B.fec_throughput("conv"),
                             B.fec_throughput("ldpc")],
+            # COMPOSED coded receive (demod + soft deframe + FEC in one
+            # pipeline) — the honest coded-capacity row (coded links are
+            # FEC-bound ~10x; the isolated rows overstate them)
+            "coded": lambda: [B.coded_rx_throughput("conv"),
+                              B.coded_rx_throughput("ldpc")],
             "serial": B.single_stream_serial_throughput,
             "blockparallel": B.single_stream_blockparallel_throughput,
             "fdm": B.fdm_throughput,
@@ -825,8 +830,8 @@ def main(argv=None) -> int:
     be = sub.add_parser("bench", help="throughput benchmark")
     be.add_argument("--suite", type=str, default="rx",
                     choices=["rx", "tx", "frontend", "costas", "fec",
-                             "serial", "blockparallel", "fdm", "modfam",
-                             "latency", "scaling", "all"],
+                             "coded", "serial", "blockparallel", "fdm",
+                             "modfam", "latency", "scaling", "all"],
                     help="which benchmark to run (all = every throughput "
                          "suite; scaling = weak-scaling efficiency sweep)")
     be.set_defaults(fn=_bench)
