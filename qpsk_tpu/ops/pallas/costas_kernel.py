@@ -34,6 +34,18 @@ from jax.experimental.pallas import tpu as pltpu
 from qpsk_tpu.ops.costas import CostasGear, CostasParams, CostasState, TAU
 from qpsk_tpu.ops.cplx import CF32
 
+# apply the frame-rate AGC gains by pre-scaling the whole input tile into
+# VMEM scratch ahead of the serial loop, instead of a per-step gain load
+# + multiply on the issue-bound recurrence chain (same IEEE multiply per
+# element — bit-identical).  Round-5 measured TIE (don't retry): qpsk+agc
+# 24.80-24.84 prescaled vs 24.76-24.88 per-step across 3 interleaved
+# rounds — Mosaic already schedules the recurrence-independent gain
+# multiply off the serial chain, and the prescale costs 2 tile-sized VMEM
+# scratch planes.  The AGC's real cost is the MEASUREMENT side (isolation
+# probe: apply-only runs at the no-AGC rate; see ROUND5_NOTES).  NOT a
+# jit static arg: flip only with _costas_pallas_tc's cache cleared.
+_AGC_PRESCALE = False
+
 
 def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
             trace_blocks: bool, emit_bits: bool, emit_label: bool,
@@ -69,6 +81,26 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
     nj = pl.num_programs(1)
     tt = zr_ref.shape[0] // sg
 
+    if agc_nsf and _AGC_PRESCALE:
+        # hoist the frame-rate AGC gain application OUT of the serial
+        # recurrence: the per-step ``g_ref[t // nsf]`` load + two
+        # multiplies sat on the issue-bound dependency chain (measured:
+        # AGC cost the composed path ~12-14% on EVERY modulation, QPSK
+        # included).  Scaling the whole tile here is the SAME IEEE
+        # multiply per element (bit-identical), done as tt independent
+        # row-block ops the scheduler can run ahead of the loop.
+        zs_r, zs_i = scr[-2], scr[-1]
+        scr = scr[:-2]
+        for t0 in range(tt):
+            gv0 = g_ref[t0 // agc_nsf, :, :]
+            zs_r[pl.ds(t0 * sg, sg), :] = \
+                zr_ref[pl.ds(t0 * sg, sg), :] * gv0
+            zs_i[pl.ds(t0 * sg, sg), :] = \
+                zi_ref[pl.ds(t0 * sg, sg), :] * gv0
+        zr_src, zi_src = zs_r, zs_i
+    else:
+        zr_src, zi_src = zr_ref, zi_ref
+
     alpha = params_ref[0]
     beta = params_ref[1]
     min_freq = params_ref[2]
@@ -95,9 +127,9 @@ def _kernel(params_ref, zr_ref, zi_ref, *refs, gear: bool, sg: int,
     def step(t, carry):
         phase = scr[0][:]
         freq = scr[1][:]
-        zr = zr_ref[pl.ds(t * sg, sg), :]     # (sg, LT) channel-group rows
-        zi = zi_ref[pl.ds(t * sg, sg), :]
-        if agc_nsf:
+        zr = zr_src[pl.ds(t * sg, sg), :]     # (sg, LT) channel-group rows
+        zi = zi_src[pl.ds(t * sg, sg), :]
+        if agc_nsf and not _AGC_PRESCALE:
             # frame-rate AGC gain applied in-register (modem feeds the
             # gains computed by ops/agc.agc_gains_tm on the SAME input
             # planes): one IEEE multiply per plane, the same rounded value
@@ -317,6 +349,9 @@ def _costas_pallas_tc(zr, zi, state0, params_vec, gains=None, *,
     ) + (jax.ShapeDtypeStruct((sg, ll), jnp.float32),) * ns   # final state
     out_specs = (block_spec, block_spec, trace_spec) + (state_spec,) * ns
     scratch = [pltpu.VMEM((sg, lt), jnp.float32)] * ns
+    if agc_nsf and _AGC_PRESCALE:
+        # tile-sized pre-scaled input planes (see _kernel's AGC hoist)
+        scratch = scratch + [pltpu.VMEM((tt * sg, lt), jnp.float32)] * 2
     if dd_kind:
         scratch = scratch + [pltpu.VMEM((sg, lt), jnp.float32)] * 2
     if emit_bits:

@@ -59,6 +59,19 @@ from qpsk_tpu.ops.cplx import CF32
 
 _HALO = 128
 
+# emit the per-frame AGC power in lane 1 of the idx output plane instead
+# of a dedicated (C, nb*128) output (saves one full plane HBM write +
+# consumer re-read on AGC configs).  Round-5 measured NEGATIVE result
+# (don't retry): the lane-1 packing reads 3% SLOWER on AGC configs
+# (qpsk+agc 24.2 vs 24.9, 16qam+agc 22.45 vs 23.1; interleaved
+# same-process, tools/sweep_fe_pwlane.py) — the [idx | pw | zeros]
+# 3-piece lane concat at offsets 0/1/2 in the kernel epilogue is a
+# sub-tile lane shuffle that costs more than the ~80 us/pass of HBM it
+# saves (the same Mosaic lane-offset cost class that sank the cw=128
+# contraction).  NOT a jit static arg: flip only with the launch
+# wrappers' jit caches cleared (the sweep tool does).
+_PW_LANE = False
+
 # fold the selected-phase carrier factor into the (CT, 1) phasor stage at
 # g == 1 (see _kernel).  Round-5 measured NEGATIVE result (don't retry):
 # despite removing ~12 full-plane VPU ops per block, the fold reads ~6%
@@ -75,7 +88,12 @@ def _kernel(base_r_ref, base_i_ref, tre_ref, tim_ref, wtab_ref,
             cycles: int, g: int, omega: float, tm_delay: bool, cw: int,
             stack: bool = True, fuse_planes: bool = True,
             emit_power: bool = False, interpret_mode: bool = False):
-    if tm_delay and emit_power:
+    pw_ref = None
+    if tm_delay and emit_power and _PW_LANE:
+        (ddin_r_ref, ddin_i_ref, body_ref, pr_ref, pi_ref, idx_ref,
+         ddout_r_ref, ddout_i_ref, halo_s, dly_r_s, dly_i_s,
+         sq_r_s, sq_i_s) = refs
+    elif tm_delay and emit_power:
         (ddin_r_ref, ddin_i_ref, body_ref, pr_ref, pi_ref, idx_ref,
          ddout_r_ref, ddout_i_ref, pw_ref, halo_s, dly_r_s, dly_i_s,
          sq_r_s, sq_i_s) = refs
@@ -299,9 +317,16 @@ def _kernel(base_r_ref, base_i_ref, tre_ref, tim_ref, wtab_ref,
                 pw = pw[:, :m // 2] + pw[:, m // 2:m]
                 m //= 2
             inv = jnp.float32(1.0 / prev_r.shape[1])
-            pw_ref[:, :] = jnp.concatenate(
-                [pw * inv,
-                 jnp.zeros((pw.shape[0], 127), jnp.float32)], axis=1)
+            if _PW_LANE:
+                # ride LANE 1 of the idx output plane (g == 1 in tm
+                # mode, so its lanes [1:] are zero padding anyway): a
+                # dedicated power plane costs a full (C, nb*128) HBM
+                # write + consumer re-read for one value per frame
+                pw_lane = pw * inv                      # (CT, 1)
+            else:
+                pw_ref[:, :] = jnp.concatenate(
+                    [pw * inv,
+                     jnp.zeros((pw.shape[0], 127), jnp.float32)], axis=1)
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _():
@@ -318,8 +343,12 @@ def _kernel(base_r_ref, base_i_ref, tre_ref, tim_ref, wtab_ref,
     # the per-block index into lane j of a write-once scratch — 128x less
     # idx HBM — measured 1% SLOWER: the full-width select+add per block
     # costs more than the write it saves.  Don't retry.)
-    idx_ref[:, :] = jnp.concatenate(
-        [idxf, jnp.zeros((ct, 128 - g), jnp.float32)], axis=1)
+    if tm_delay and emit_power and _PW_LANE:
+        idx_ref[:, :] = jnp.concatenate(
+            [idxf, pw_lane, jnp.zeros((ct, 127 - g), jnp.float32)], axis=1)
+    else:
+        idx_ref[:, :] = jnp.concatenate(
+            [idxf, jnp.zeros((ct, 128 - g), jnp.float32)], axis=1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -508,11 +537,13 @@ def _frontend_2d_tm(pcm, tail_raw, phase0, dd_r, dd_i, taps_key, block: int,
                pltpu.VMEM((ct, nsym), jnp.float32),
                pltpu.VMEM((ct, nsym), jnp.float32)]
     if emit_power:
-        out_shape = out_shape + (
-            jax.ShapeDtypeStruct((c, nb * 128), jnp.float32),)
-        out_specs = out_specs + (
-            pl.BlockSpec((ct, 128), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),)
+        if not _PW_LANE:
+            out_shape = out_shape + (
+                jax.ShapeDtypeStruct((c, nb * 128), jnp.float32),)
+            out_specs = out_specs + (
+                pl.BlockSpec((ct, 128), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),)
+        # square-staging scratches (the _frame_power pin)
         scratch = scratch + [pltpu.VMEM((ct, nsym), jnp.float32)] * 2
     outs = pl.pallas_call(
         kern,
@@ -537,11 +568,17 @@ def _frontend_2d_tm(pcm, tail_raw, phase0, dd_r, dd_i, taps_key, block: int,
         interpret=interpret,
     )(bases_r, bases_i, tre, tim, wtab, phase0, tail_raw, dd_r, dd_i, pcm)
     zr, zi, idxf, ndd_r, ndd_i = outs[:5]
-    idx = idxf.reshape(c, nb, 128)[..., :1].astype(jnp.int32)
+    planes = idxf.reshape(c, nb, 128)
+    idx = planes[..., :1].astype(jnp.int32)
     powers = None
     if emit_power:
-        # (F, C) per-frame mean |pick|^2 of the emitted (delayed) picks
-        powers = outs[5].reshape(c, nb, 128)[..., 0].T
+        # (F, C) per-frame mean |pick|^2 of the emitted (delayed) picks —
+        # from lane 1 of the idx plane (one plane round-trips HBM instead
+        # of two) or from the dedicated plane when _PW_LANE is off
+        if _PW_LANE:
+            powers = planes[..., 1].T
+        else:
+            powers = outs[5].reshape(c, nb, 128)[..., 0].T
     return zr, zi, idx.reshape(c, nb), ndd_r, ndd_i, powers
 
 
