@@ -109,6 +109,12 @@ def _peak_hz(psd: jnp.ndarray, nfft: int, fs: float, power: int,
     denom = pm - 2.0 * p0 + pp
     delta = jnp.where(jnp.abs(denom) > 1e-20,
                       0.5 * (pm - pp) / denom, 0.0)
+    # At a true local max (pm <= p0 >= pp) the fit is bounded to half a
+    # bin automatically, but against the ORIGINAL psd a runner-up
+    # adjacent to a stronger line's skirt can have a neighbor above its
+    # own peak, flipping the parabola and making delta arbitrarily large
+    # — clamp to the half-bin the interpolation is meant to refine.
+    delta = jnp.clip(delta, -0.5, 0.5)
     kf = k.astype(jnp.float32) + delta
     kf = jnp.where(kf > nfft / 2, kf - nfft, kf)
     return kf * jnp.float32(fs / nfft) / jnp.float32(power), k

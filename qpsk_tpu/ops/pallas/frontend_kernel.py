@@ -380,16 +380,13 @@ def _tables(taps_key: tuple, block: int, omega: float, cycles: int,
     cols = np.concatenate([np.arange(p, cw, cycles) for p in range(cycles)])
 
     def chunked(tp):
+        # padded tap length = pad + ntaps = _HALO + 1, so the band matrix
+        # always has block + _HALO rows: the slice is full-size for every
+        # valid cw (including the cw == block dense degenerate)
         full = toeplitz_taps(
             np.concatenate([np.zeros(pad, np.float32), tp]), block)
         t = full[:cw + _HALO][:, cols]
-        if t.shape[0] < cw + _HALO:
-            # cw == block dense degenerate: the band matrix has block+127
-            # rows but the window carries block+128 samples — the newest
-            # window sample feeds no output of this chunk (zero row)
-            t = np.concatenate(
-                [t, np.zeros((cw + _HALO - t.shape[0], t.shape[1]),
-                             np.float32)])
+        assert t.shape[0] == cw + _HALO, (t.shape, cw)
         return t
 
     lanes = np.arange(block // cycles, dtype=np.float64) * cycles + 1.0

@@ -212,3 +212,66 @@ def test_candidate_interp_uses_original_psd():
     # and the old behavior really was biased (guards the regression)
     f_old, _ = _peak_hz(jnp.asarray(masked), nfft, fs, power)
     assert abs(float(f_old) - float(f_true)) > 0.1 * fs / nfft / power
+
+
+def test_candidate_interp_delta_clamped():
+    """Against the ORIGINAL psd a runner-up adjacent to a stronger line's
+    skirt can read a neighbor ABOVE its own peak — the parabolic fit then
+    flips and delta grows unboundedly.  The fit must stay within the half
+    bin it refines (review find, round 5)."""
+    import jax.numpy as jnp
+
+    from qpsk_tpu.ops.acquire import _peak_hz
+
+    nfft, fs, power = 512, 9600.0, 4
+    psd = np.full(nfft, 0.01, np.float32)
+    psd[95:101] = [3.0, 9.0, 5.0, 3.2, 2.4, 1.9]   # main line + skirt
+    psd[101:103] = [1.5, 0.2]                      # runner-up at 101 with
+    # skirt neighbor psd[100]=1.9 > its own peak 1.5: pm-2*p0+pp > 0
+    masked = psd.copy()
+    masked[96 - 4:96 + 5] = 0.0                    # guard the main line
+    f, k = _peak_hz(jnp.asarray(masked), nfft, fs, power,
+                    interp_psd=jnp.asarray(psd))
+    assert int(k) == 101
+    bin_hz = fs / nfft / power
+    assert abs(float(f) - 101 * bin_hz) <= 0.5 * bin_hz + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# CW interferer stimulus
+
+def test_tone_pcm_level_and_acquisition_hijack():
+    """channel.tone_pcm adds a CW line at the requested relative power,
+    and at 0 dB in-band it hijacks the M-power acquisition — the measured
+    fact behind the sweep fallback's scope note (an interferer that breaks
+    top-2 acquisition also breaks dense-constellation decode)."""
+    import jax
+
+    from qpsk_tpu import ModemConfig, tx_init
+    from qpsk_tpu.channel import tone_pcm
+    from qpsk_tpu.modem import rx_acquire_hz, tx_stream
+    from qpsk_tpu.packet import assemble_packet
+
+    cfg = ModemConfig(modulation="8psk")
+    pcfg = PacketConfig(payload_bytes=30)
+    rng = np.random.default_rng(0)
+    payload = jnp.asarray(rng.integers(0, 2, (30, 240), dtype=np.int32))
+    chan = assemble_packet(pcfg, payload).ravel()
+    mfb = cfg.bits_per_frame
+    npad = (-chan.size) % mfb
+    chan = jnp.concatenate(
+        [chan, jnp.asarray(rng.integers(0, 2, (npad,), np.int32))])
+    _, pcm = tx_stream(cfg, tx_init(cfg), chan.reshape(-1, mfb),
+                       tx_offset_hz=150.0)
+    sp = float(jnp.mean((pcm.astype(jnp.float32) / cfg.pcm_scale) ** 2))
+
+    # level check: adding a 0 dB tone roughly doubles the analog power
+    noisy = tone_pcm(pcm, 2200.0, 0.0, sp)
+    sp2 = float(jnp.mean((np.asarray(noisy).astype(np.float32)
+                          / cfg.pcm_scale) ** 2))
+    assert 1.7 < sp2 / sp < 2.3, sp2 / sp
+
+    # acquisition hijack: both candidates leave the ±50 Hz pull-in of the
+    # true +150 Hz carrier (the measured 0 dB in-band failure mode)
+    cands = np.asarray(rx_acquire_hz(cfg, noisy, candidates=2)).ravel()
+    assert min(abs(c - 150.0) for c in cands) > 50.0, cands

@@ -5,7 +5,11 @@
 # FDM decomposition record) and re-runs every hardware bit-exactness
 # gate on the final tree.
 # Usage: bash tools/run_tpu_campaign_r5.sh
-set -x
+# -e/-o pipefail: a failed or timed-out bench must NOT overwrite the
+# committed artifact through the tee, and a failing hardware gate must
+# fail the campaign (tail in the gate pipelines would otherwise swallow
+# the exit status).
+set -exo pipefail
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache_tpu

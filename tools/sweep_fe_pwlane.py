@@ -1,6 +1,7 @@
 """Interleaved same-process A/B: AGC power emission in lane 1 of the idx
-plane vs a dedicated output plane (frontend_kernel._PW_LANE), plus the
-tm-path bit-exactness gate run per variant.
+plane vs a dedicated output plane (frontend_kernel._PW_LANE).  Throughput
+only — run tools/check_tm_tpu.py separately for the bit-exactness gate
+of whichever variant is the default.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/sweep_fe_pwlane.py
 """
