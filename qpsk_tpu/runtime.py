@@ -17,6 +17,11 @@ Behavior:
   list is discarded);
 * FFT acquisition warm-starts the Costas loop on the first frames (when
   ``cfg.acquisition == "fft"``; parity mode cold-starts like the C loop);
+  when the CRC hunt rejects both FFT candidates (a deterministic M-power
+  spur parked on top, or SNR below the acquisition floor) the candidate
+  rotation walks into a static seed-sweep grid covering the band plan's
+  offset range — a spur-parked receiver always recovers (``sweep_hz``
+  tunes the grid; ``ops.acquire.sweep_candidates_hz``);
 * packet sync (rotation + alignment) happens automatically once enough
   post-transient bits accumulate — a sliding hunt across the bit stream —
   and is CRC-tracked thereafter: Costas cycle slips (90° rotations) and,
@@ -227,7 +232,8 @@ class StreamDemodulator:
     def __init__(self, cfg: ModemConfig, pcfg: PacketConfig,
                  sync_skip_frames: int = 2, probe_frames: int | None = None,
                  resync_after: int = 8, bucket_frames: int = 8,
-                 slip_track: int = 1, squelch_db: float | None = None):
+                 slip_track: int = 1, squelch_db: float | None = None,
+                 sweep_hz=None):
         self.cfg = cfg
         self.pcfg = pcfg
         # sync_skip default 2 (round 4, was 8): the post-onset transient
@@ -298,8 +304,12 @@ class StreamDemodulator:
         # spanning the band plan's offset range at sub-pull-in steps
         # (ops/acquire.sweep_candidates_hz).  The CRC hunt scores every
         # seed the same way it scores the FFT candidates.
+        # ``sweep_hz``: an explicit seed grid (any iterable of Hz offsets;
+        # empty disables the fallback), default the ±300 Hz grid at
+        # sub-pull-in steps
         from qpsk_tpu.ops.acquire import sweep_candidates_hz
-        self._sweep_hz = sweep_candidates_hz()
+        self._sweep_hz = (sweep_candidates_hz() if sweep_hz is None
+                          else np.asarray(sweep_hz, np.float32))
         self._acq_idx = 0    # which candidate the current epoch uses
         self._acq_bits = 0   # bits the hunt REJECTED on this candidate
         # buffer prefix demodulated under the PREVIOUS candidate after a
