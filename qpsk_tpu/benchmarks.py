@@ -508,7 +508,8 @@ def fec_throughput(kind: str = "conv", packets: int | None = None,
 def coded_rx_throughput(kind: str = "conv", channels: int | None = None,
                         frames: int | None = None, iters: int | None = None,
                         inner: int | None = None,
-                        payload_bytes: int = 30) -> dict:
+                        payload_bytes: int = 30,
+                        modulation: str = "qpsk") -> dict:
     """COMPOSED coded receive rate: FE + Costas + soft LLRs + deframe +
     FEC decode in ONE timed pipeline, in input samples/second.
 
@@ -531,7 +532,7 @@ def coded_rx_throughput(kind: str = "conv", channels: int | None = None,
     from qpsk_tpu.ops.modmap import demod_soft
     from qpsk_tpu.packet.frame import PacketConfig, disassemble_packet_soft
 
-    cfg = ModemConfig()
+    cfg = ModemConfig(modulation=modulation, agc=(modulation == "16qam"))
     pcfg = PacketConfig(payload_bytes=payload_bytes, fec=kind)
     platform = jax.devices()[0].platform
     # 1024 channels: the FEC batch lands near fec_throughput's 4096-packet
@@ -545,7 +546,7 @@ def coded_rx_throughput(kind: str = "conv", channels: int | None = None,
     nsym = fsz // cfg.cycles
     nsamples = channels * frames * fsz
     fb = pcfg.frame_bits
-    total_bits = channels * frames * nsym * 2
+    total_bits = channels * frames * nsym * cfg.bits_per_symbol
     npkt = -(-total_bits // fb)                   # ceil
     pad = npkt * fb - total_bits
 
@@ -556,7 +557,14 @@ def coded_rx_throughput(kind: str = "conv", channels: int | None = None,
     def composed(st, x, acc):
         st, out = rx_stream(cfg, st, x)
         sym = CF32(out.symbols.re.reshape(-1), out.symbols.im.reshape(-1))
-        llr = demod_soft(sym)
+        if modulation == "qpsk":
+            llr = demod_soft(sym)
+        else:
+            # generic-family soft path: score matrix -> max-log LLRs
+            from qpsk_tpu.ops import modfam
+            m = modfam.get(modulation)
+            llr = modfam.soft_from_scores(
+                modfam.symbol_scores(sym, m, scale=cfg.agc_target), m)
         llr = jnp.concatenate([llr, jnp.zeros((pad,), jnp.float32)])
         rx = disassemble_packet_soft(pcfg, llr.reshape(npkt, fb))
         return st, acc + jnp.sum(rx.payload_bits) + jnp.sum(
@@ -586,7 +594,8 @@ def coded_rx_throughput(kind: str = "conv", channels: int | None = None,
     sps = nsamples * inner * iters / dt
     info_bps = npkt * 8 * payload_bytes * inner * iters / dt
     fec_s = max(dt - dt_demod, 0.0) / (iters * inner)
-    rec = {"metric": f"coded_rx_throughput_{kind}",
+    suffix = kind if modulation == "qpsk" else f"{kind}_{modulation}"
+    rec = {"metric": f"coded_rx_throughput_{suffix}",
            "value": round(sps, 1), "unit": "samples/s",
            "platform": platform, "channels": channels,
            "info_bits_per_s": round(info_bps, 1),

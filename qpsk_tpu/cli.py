@@ -803,9 +803,12 @@ def main(argv=None) -> int:
                             B.fec_throughput("ldpc")],
             # COMPOSED coded receive (demod + soft deframe + FEC in one
             # pipeline) — the honest coded-capacity row (coded links are
-            # FEC-bound ~10x; the isolated rows overstate them)
+            # FEC-bound ~10x; the isolated rows overstate them).  The
+            # 8PSK+LDPC row is the realistic high-rate coded link.
             "coded": lambda: [B.coded_rx_throughput("conv"),
-                              B.coded_rx_throughput("ldpc")],
+                              B.coded_rx_throughput("ldpc"),
+                              B.coded_rx_throughput("ldpc",
+                                                    modulation="8psk")],
             "serial": B.single_stream_serial_throughput,
             "blockparallel": B.single_stream_blockparallel_throughput,
             "fdm": B.fdm_throughput,

@@ -162,7 +162,7 @@ def acquire_freq_candidates(x: CF32, fs: float, nfft: int = 512,
     return jnp.stack(cands, axis=-1)
 
 
-def sweep_candidates_hz(max_hz: float = 300.0,
+def sweep_candidates_hz(max_hz: float = 375.0,
                         step_hz: float = 75.0) -> "np.ndarray":
     """Static acquisition-seed sweep grid ``[0, +s, -s, +2s, -2s, ...]`` —
     the fallback when spectral acquisition itself is degraded (a strong
@@ -174,9 +174,13 @@ def sweep_candidates_hz(max_hz: float = 300.0,
     carrier the spectrum can't find, at the cost of one hunt window per
     step.  ``step_hz`` defaults to 75: the generic family's measured cold
     pull-in is ~±50 Hz (docs/lock_range_{8psk,16qam}.jsonl), so the worst
-    residual after the best sweep seed is 37.5 Hz.  Consumers walk the
-    grid AFTER the FFT candidates reject (StreamDemodulator's candidate
-    rotation; tools/run_lock_range.py measures the combined behavior).
+    residual after the best sweep seed is 37.5 Hz.  ``max_hz`` defaults
+    to 375 — the edge of the decodable band (measured: 8PSK at ±375
+    decodes 1.0 CRC from a seed within 25 Hz; at ±400 the matched-filter
+    skirt kills decode with a PERFECT seed, so wider grids buy nothing
+    at this band plan).  Consumers walk the grid AFTER the FFT
+    candidates reject (StreamDemodulator's candidate rotation;
+    tools/run_lock_range.py measures the combined behavior).
     """
     import numpy as np
     ks = int(max_hz / step_hz)

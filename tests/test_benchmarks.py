@@ -101,6 +101,11 @@ def test_coded_rx_throughput_record():
         assert r["packets_per_pass"] > 0
         assert r["bound"] in ("fec-decoder", "demod")
         assert r["fec_slowdown_x"] >= 1.0
+    # generic-family composed coded row (the 8PSK+LDPC high-rate link)
+    r = coded_rx_throughput(kind="ldpc", modulation="8psk", channels=8,
+                            frames=4, iters=1, inner=1)
+    assert r["metric"] == "coded_rx_throughput_ldpc_8psk"
+    assert r["value"] > 0 and r["packets_per_pass"] > 0
 
 
 def test_sp_bound_record():
