@@ -238,6 +238,36 @@ def test_candidate_interp_delta_clamped():
 
 
 # ---------------------------------------------------------------------------
+# driver bench entry point: windows max + spread
+
+def test_bench_entry_reports_best_window(monkeypatch, capsys):
+    """bench.py runs 3 measurement windows and reports the max with the
+    spread visible — the guard against a single window captured under
+    relay contention reading 2.3x low (BENCH_r04)."""
+    import importlib
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    bench = importlib.import_module("bench")
+    vals = iter([20e9, 28e9, 24e9])
+
+    def fake_rx():
+        return {"metric": "rx_demod_throughput", "value": next(vals),
+                "unit": "samples/s", "vs_baseline": 1.0}
+
+    import qpsk_tpu.benchmarks as B
+    monkeypatch.setattr(B, "rx_throughput", fake_rx)
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, "bench.py must print exactly ONE JSON line"
+    rec = json.loads(out[0])
+    assert rec["value"] == 28e9
+    assert rec["windows"] == [20.0, 28.0, 24.0]
+    assert abs(rec["spread"] - (28 - 20) / 28) < 1e-3
+
+
+# ---------------------------------------------------------------------------
 # CW interferer stimulus
 
 def test_tone_pcm_level_and_acquisition_hijack():
