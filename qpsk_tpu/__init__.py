@@ -13,4 +13,4 @@ from qpsk_tpu.modem import (rx_acquire_hz, rx_frame, rx_stream,
 from qpsk_tpu.runtime import StreamDemodulator, StreamModulator
 from qpsk_tpu.state import RxState, TxState, rx_init, tx_init
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
